@@ -1,0 +1,122 @@
+"""Shared NN building blocks (XLA-fused elementwise + attention).
+
+Covers the reference executor's op set where XLA fusion is the right tool
+(reference: executor/src/operators/ — layer_norm, rmsnorm, softmax, gelu,
+multi_head_attention, position_ids, padding_sequence…). These are deliberately
+plain jnp: XLA fuses elementwise chains into the surrounding matmuls on TPU,
+so hand-written kernels would only add boundaries. Pallas is reserved for ops
+XLA can't schedule well (quantized GEMM, fused top-k — see quant_matmul.py,
+topk.py, flash_attention.py).
+
+`dense` is the single linear-layer entry point: it dispatches on the weight
+leaf type, so a model runs float or quantized depending only on its params
+tree (the analogue of the reference swapping nn.Linear → QuantizedLinearQBits,
+llm/quantization/utils.py:164).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from intel_extension_for_transformers_tpu.ops.packing import QuantizedTensor
+from intel_extension_for_transformers_tpu.ops.quant_matmul import woq_linear
+
+
+def dense(x: jax.Array, kernel, bias: Optional[jax.Array] = None) -> jax.Array:
+    """x (..., K) @ kernel (K, N) + bias; kernel may be a QuantizedTensor."""
+    if isinstance(kernel, QuantizedTensor):
+        return woq_linear(x, kernel, bias=bias)
+    y = jnp.einsum(
+        "...k,kn->...n", x, kernel.astype(x.dtype), preferred_element_type=x.dtype
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def layer_norm(x, scale, bias, eps: float = 1e-12):
+    """LayerNorm with f32 statistics (reference: operators/layer_norm.cpp)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def rms_norm(x, scale, eps: float = 1e-6):
+    """RMSNorm (reference: operators/rmsnorm.cpp)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def gelu(x, approximate: bool = True):
+    return jax.nn.gelu(x, approximate=approximate)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def rotary_embedding(positions: jax.Array, head_dim: int, theta: float = 10000.0):
+    """RoPE cos/sin tables for given positions (B, T) → (B, T, head_dim//2)."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # (B, T, D/2)
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Apply RoPE to (B, T, H, D) given (B, T, D/2) tables."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    cos = cos[:, :, None, :].astype(x.dtype)
+    sin = sin[:, :, None, :].astype(x.dtype)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+def attention(
+    q: jax.Array,  # (B, Tq, H, D)
+    k: jax.Array,  # (B, Tk, Hkv, D)
+    v: jax.Array,  # (B, Tk, Hkv, D)
+    mask: Optional[jax.Array] = None,  # broadcastable to (B, H, Tq, Tk); True=keep
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Multi-head attention with f32 softmax and GQA support
+    (reference: executor/src/operators/multi_head_attention.cpp).
+
+    XLA fuses QK^T → masked softmax → PV into tight MXU/VPU loops; for long
+    sequences use ops.flash_attention (Pallas, O(T) memory).
+    """
+    B, Tq, H, D = q.shape
+    Hkv = k.shape[2]
+    if Hkv != H:  # grouped-query: repeat kv heads
+        rep = H // Hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    scale = scale if scale is not None else 1.0 / (D**0.5)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=q.dtype)
+
+
+def make_causal_mask(Tq: int, Tk: int, offset: int = 0) -> jax.Array:
+    """(1, 1, Tq, Tk) boolean causal mask; offset = #cached tokens before q."""
+    qi = jnp.arange(Tq)[:, None] + offset
+    ki = jnp.arange(Tk)[None, :]
+    return (ki <= qi)[None, None, :, :]
+
+
+def padding_mask(attention_mask: jax.Array) -> jax.Array:
+    """(B, Tk) int/bool → (B, 1, 1, Tk) boolean
+    (reference: operators/padding_sequence.cpp)."""
+    return attention_mask.astype(bool)[:, None, None, :]

@@ -1,0 +1,228 @@
+"""Group-wise low-bit weight quantization and TPU-friendly packing.
+
+Functional analogue of the reference's qbits pack/unpack C++ path
+(reference: qbits/qbits.cpp:90 `quantize_to_packed_weight`,
+llm/quantization/utils.py:82 `unpack_weight`) redesigned for the TPU memory
+system:
+
+* **Half-split int4 layout.** A (K, N) weight quantized to 4 bits is stored as
+  one int8 array of shape (K//2, N): the low nibble holds rows [0, K/2), the
+  high nibble rows [K/2, K). Unpacking is therefore two shift/mask ops and NO
+  row interleave — the two halves feed two independent MXU matmuls, which is
+  the layout Pallas wants (row interleaves are expensive cross-lane shuffles
+  on the VPU; concatenation along K is free because we never materialize it).
+* **Group-wise scales along K.** scales (and zero points for asymmetric
+  schemes) have shape (K//group_size, N). Group boundaries must not straddle
+  the half split: group_size must divide K//2.
+
+Supported dtypes: "int4" (symmetric, [-8, 7]), "int4_asym" via scheme="asym"
+([0, 15] + zero point), "int8" (symmetric, unpacked), "nf4"/"fp4" (codebook
+indices, absmax scale per group).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from intel_extension_for_transformers_tpu.ops.codebooks import get_codebook
+
+WEIGHT_DTYPES = ("int4", "int8", "nf4", "fp4", "fp4_e2m1")
+
+
+@dataclass
+class QuantizedTensor:
+    """A packed, group-quantized 2-D weight of logical shape (K, N)."""
+
+    data: jax.Array  # int8: (K//2, N) for 4-bit, (K, N) for int8
+    scales: jax.Array  # (K//group_size, N), float32 or bfloat16
+    zeros: Optional[jax.Array]  # (K//group_size, N) float, None if symmetric
+    # per-input-channel activation pre-scale (AWQ/TEQ/SmoothQuant folding):
+    # effective weight = diag(pre_scale) @ dequant(data); woq_linear applies
+    # pre_scale to the activations instead (mathematically identical).
+    pre_scale: Optional[jax.Array] = None  # (K,)
+    # -- static metadata --
+    weight_dtype: str = "int4"  # static
+    scheme: str = "sym"  # static
+    group_size: int = 128  # static
+    K: int = 0  # static
+    N: int = 0  # static
+
+    @property
+    def bits(self) -> int:
+        return 8 if self.weight_dtype == "int8" else 4
+
+    @property
+    def is_codebook(self) -> bool:
+        return self.weight_dtype in ("nf4", "fp4", "fp4_e2m1")
+
+    def astype_scales(self, dtype) -> "QuantizedTensor":
+        return replace(
+            self,
+            scales=self.scales.astype(dtype),
+            zeros=None if self.zeros is None else self.zeros.astype(dtype),
+        )
+
+    @property
+    def nbytes(self) -> int:
+        n = self.data.size * self.data.dtype.itemsize
+        n += self.scales.size * self.scales.dtype.itemsize
+        if self.zeros is not None:
+            n += self.zeros.size * self.zeros.dtype.itemsize
+        return n
+
+
+# Pytree registration: packed arrays are data, quantization layout is static
+# metadata so jit specializes on (dtype, scheme, group_size, shape).
+jax.tree_util.register_dataclass(
+    QuantizedTensor,
+    data_fields=["data", "scales", "zeros", "pre_scale"],
+    meta_fields=["weight_dtype", "scheme", "group_size", "K", "N"],
+)
+
+
+def _check_shapes(K: int, N: int, group_size: int, bits: int) -> None:
+    if group_size <= 0:
+        raise ValueError(f"group_size must be positive, got {group_size}")
+    if K % group_size:
+        raise ValueError(f"K={K} not divisible by group_size={group_size}")
+    if bits == 4:
+        if K % 2:
+            raise ValueError(f"4-bit packing needs even K, got {K}")
+        if (K // 2) % group_size:
+            raise ValueError(
+                f"group_size={group_size} must divide K//2={K // 2} "
+                "(groups may not straddle the half-split)"
+            )
+
+
+def pack_int4(q: jax.Array) -> jax.Array:
+    """Pack (K, N) int values in [-8,15] into (K//2, N) int8, half-split layout."""
+    K = q.shape[0]
+    lo = q[: K // 2].astype(jnp.int32) & 0xF
+    hi = q[K // 2 :].astype(jnp.int32) & 0xF
+    return ((hi << 4) | lo).astype(jnp.int8)
+
+
+def unpack_int4(packed: jax.Array, signed: bool) -> jax.Array:
+    """Inverse of pack_int4 → (K, N) int8 (sign-extended if `signed`)."""
+    p = packed.astype(jnp.int32)
+    lo = p & 0xF
+    hi = (p >> 4) & 0xF
+    if signed:
+        lo = ((lo ^ 8) - 8).astype(jnp.int8)
+        hi = ((hi ^ 8) - 8).astype(jnp.int8)
+    else:
+        lo = lo.astype(jnp.int8)
+        hi = hi.astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+def _grouped(w: jax.Array, group_size: int) -> jax.Array:
+    K, N = w.shape
+    return w.reshape(K // group_size, group_size, N)
+
+
+@partial(jax.jit, static_argnames=("weight_dtype", "scheme", "group_size", "scale_dtype"))
+def quantize_groupwise(
+    w: jax.Array,
+    weight_dtype: str = "int4",
+    scheme: str = "sym",
+    group_size: int = 128,
+    scale_dtype=jnp.float32,
+) -> QuantizedTensor:
+    """RTN group quantization of a (K, N) weight (K = in_features).
+
+    Mirrors the numerics of the reference's RTN path
+    (reference: llm/quantization/utils.py:531 convert_to_quantized_model with
+    RtnConfig; INC rtn_quantize) expressed as pure JAX.
+    """
+    if weight_dtype not in WEIGHT_DTYPES:
+        raise ValueError(f"weight_dtype {weight_dtype!r} not in {WEIGHT_DTYPES}")
+    K, N = w.shape
+    bits = 8 if weight_dtype == "int8" else 4
+    _check_shapes(K, N, group_size, bits)
+    w = w.astype(jnp.float32)
+    g = _grouped(w, group_size)  # (G, gs, N)
+    zeros = None
+
+    if weight_dtype in ("nf4", "fp4", "fp4_e2m1"):
+        cb = jnp.asarray(get_codebook(weight_dtype))  # (16,)
+        absmax = jnp.max(jnp.abs(g), axis=1, keepdims=True)  # (G, 1, N)
+        scales = jnp.where(absmax == 0, 1.0, absmax)
+        normed = g / scales  # in [-1, 1]
+        # nearest codebook entry
+        dists = jnp.abs(normed[..., None] - cb)  # (G, gs, N, 16)
+        idx = jnp.argmin(dists, axis=-1).astype(jnp.int8)
+        data = pack_int4(idx.reshape(K, N))
+        scales = scales[:, 0, :]
+    elif scheme == "sym":
+        qmax = 127.0 if bits == 8 else 7.0
+        absmax = jnp.max(jnp.abs(g), axis=1, keepdims=True)
+        scales = jnp.where(absmax == 0, 1.0, absmax / qmax)
+        q = jnp.clip(jnp.round(g / scales), -qmax - 1, qmax).astype(jnp.int8)
+        q = q.reshape(K, N)
+        data = pack_int4(q) if bits == 4 else q
+        scales = scales[:, 0, :]
+    elif scheme == "asym":
+        qmax = 255.0 if bits == 8 else 15.0
+        wmin = jnp.min(g, axis=1, keepdims=True)
+        wmax = jnp.max(g, axis=1, keepdims=True)
+        rng = wmax - wmin
+        scales = jnp.where(rng == 0, 1.0, rng / qmax)
+        zp = jnp.round(-wmin / scales)  # in [0, qmax]
+        q = jnp.clip(jnp.round(g / scales) + zp, 0, qmax)
+        q = q.astype(jnp.uint8).astype(jnp.int8).reshape(K, N)
+        data = pack_int4(q) if bits == 4 else q
+        zeros = zp[:, 0, :].astype(scale_dtype)
+        scales = scales[:, 0, :]
+    else:
+        raise ValueError(f"scheme {scheme!r} must be 'sym' or 'asym'")
+
+    return QuantizedTensor(
+        data=data,
+        scales=scales.astype(scale_dtype),
+        zeros=zeros,
+        weight_dtype=weight_dtype,
+        scheme="sym" if weight_dtype in ("nf4", "fp4", "fp4_e2m1") else scheme,
+        group_size=group_size,
+        K=K,
+        N=N,
+    )
+
+
+def dequantize(qt: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
+    """Reconstruct the (K, N) float weight (reference parity:
+    llm/quantization/utils.py:82 unpack_weight → dequant)."""
+    g = qt.group_size
+    if qt.is_codebook:
+        cb = jnp.asarray(get_codebook(qt.weight_dtype))
+        idx = unpack_int4(qt.data, signed=False)
+        vals = cb[idx.astype(jnp.int32)]
+        vals = _grouped(vals, g) * qt.scales.astype(jnp.float32)[:, None, :]
+        w = vals.reshape(qt.K, qt.N)
+        if qt.pre_scale is not None:
+            w = w * qt.pre_scale.astype(jnp.float32)[:, None]
+        return w.astype(dtype)
+    if qt.bits == 4:
+        q = unpack_int4(qt.data, signed=qt.scheme == "sym")
+        if qt.scheme == "asym":
+            # stored as uint nibbles in int8; reinterpret as unsigned
+            q = q.astype(jnp.int32) & 0xFF
+    else:
+        q = qt.data
+        if qt.scheme == "asym":
+            q = q.astype(jnp.int32) & 0xFF
+    qf = _grouped(q.astype(jnp.float32), g)
+    scales = qt.scales.astype(jnp.float32)[:, None, :]
+    if qt.scheme == "asym":
+        qf = qf - qt.zeros.astype(jnp.float32)[:, None, :]
+    w = (qf * scales).reshape(qt.K, qt.N)
+    if qt.pre_scale is not None:
+        w = w * qt.pre_scale.astype(jnp.float32)[:, None]
+    return w.astype(dtype)

@@ -1,0 +1,444 @@
+"""Weight-only-quantized matmul: the TPU replacement for qbits' AMX/VNNI GEMM.
+
+The reference's hot inference op is `qbits.woq_linear`
+(reference: qbits/qbits.cpp:113 → woq::dispatch_woq_task → BesTLA JIT GEMM;
+python hot loop llm/quantization/nn/modules.py:140 → autograd/functions.py:184
+`matmul_kbit`). Here the same contract — activations in bf16/f32, weights in
+packed int4/int8/nf4/fp4 with group scales — is implemented two ways:
+
+1. `woq_matmul_ref`: dequantize-then-einsum in pure XLA. Ground truth for
+   tests (the analogue of the reference's *_ref kernels, e.g.
+   kernels/src/cpu/kernels/mha_dense_ref.cpp) and the fallback path.
+2. `woq_matmul`: a Pallas TPU kernel that never materializes the dequantized
+   weight in HBM. Per (M,N)-tile it streams packed int4 blocks into VMEM,
+   runs one MXU matmul per quantization group in the activation dtype, and
+   applies the group scale to the (TM, TN) partial — so the scale broadcast
+   is O(TM*TN) on the VPU instead of O(TK*TN) on the dequantized weight.
+   Asymmetric zero points become a rank-1 correction using the per-group row
+   sums of the activations.
+
+The 4-bit half-split layout (see ops/packing.py) means the low and high
+nibbles are independent K-slices: the kernel reads the activation tile twice
+(once per half) and never performs a row interleave.
+
+Backward (for QLoRA, reference autograd/functions.py:147 MatMulKBit.backward):
+custom_vjp returning dx = g @ W^T via the dequantized weight; the quantized
+weight itself gets no gradient.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from intel_extension_for_transformers_tpu.ops.codebooks import get_codebook
+from intel_extension_for_transformers_tpu.ops.packing import (
+    QuantizedTensor,
+    dequantize,
+)
+from intel_extension_for_transformers_tpu.utils.device import use_pallas_interpret
+
+
+def woq_matmul_ref(x: jax.Array, qt: QuantizedTensor, out_dtype=None) -> jax.Array:
+    """Dequantize-then-matmul ground truth. x: (..., K) → (..., N)."""
+    out_dtype = out_dtype or x.dtype
+    w = dequantize(qt, dtype=jnp.float32)
+    out = jnp.einsum(
+        "...k,kn->...n",
+        x.astype(jnp.float32),
+        w,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(out_dtype)
+
+
+def _decode_nibbles(packed_i32, *, signed: bool):
+    """int32 block of packed bytes → (lo, hi) int32 nibble planes."""
+    lo = packed_i32 & 0xF
+    hi = (packed_i32 >> 4) & 0xF
+    if signed:
+        lo = (lo ^ 8) - 8
+        hi = (hi ^ 8) - 8
+    return lo, hi
+
+
+def _codebook_lookup(idx_i32, cb_vals):
+    """Decode 4-bit codebook indices with 16 vectorized selects (VPU)."""
+    out = jnp.zeros(idx_i32.shape, jnp.float32)
+    for i, v in enumerate(cb_vals):
+        out = jnp.where(idx_i32 == i, jnp.float32(v), out)
+    return out
+
+
+def _woq_kernel_4bit(
+    x_lo_ref,
+    x_hi_ref,
+    w_ref,
+    s_ref,
+    z_ref,
+    o_ref,
+    acc_ref,
+    *,
+    group_size: int,
+    num_k_steps: int,
+    groups_per_half: int,
+    scheme: str,
+    codebook: Optional[tuple],
+    compute_dtype,
+):
+    """Grid: (M/TM, N/TN, K2/TK). K innermost; acc in VMEM scratch.
+
+    s_ref/z_ref hold ALL group rows (small) column-blocked; row offsets are
+    computed from the K-step because tiny row blocks violate TPU tiling rules.
+    """
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    packed = w_ref[:].astype(jnp.int32)  # (TK, TN) packed bytes
+    signed = scheme == "sym" and codebook is None
+    lo, hi = _decode_nibbles(packed, signed=signed)
+
+    tk = w_ref.shape[0]
+    n_groups = tk // group_size
+    acc = acc_ref[:]
+    for half, (plane, x_ref) in enumerate(((lo, x_lo_ref), (hi, x_hi_ref))):
+        if codebook is not None:
+            qvals = _codebook_lookup(plane, codebook).astype(compute_dtype)
+        else:
+            qvals = plane.astype(compute_dtype)
+        for gi in range(n_groups):
+            sl = slice(gi * group_size, (gi + 1) * group_size)
+            xg = x_ref[:, sl].astype(compute_dtype)  # (TM, gs)
+            qg = qvals[sl, :]  # (gs, TN)
+            partial = jax.lax.dot(
+                xg,
+                qg,
+                precision=(
+                    jax.lax.Precision.HIGHEST
+                    if compute_dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT
+                ),
+                preferred_element_type=jnp.float32,
+            )  # (TM, TN)
+            row = half * groups_per_half + k * n_groups + gi
+            scale = s_ref[pl.ds(row, 1), :].astype(jnp.float32)  # (1, TN)
+            acc = acc + partial * scale
+            if scheme == "asym":
+                zp = z_ref[pl.ds(row, 1), :].astype(jnp.float32)  # (1, TN)
+                xsum = jnp.sum(x_ref[:, sl].astype(jnp.float32), axis=1)  # (TM,)
+                acc = acc - xsum[:, None] * (scale * zp)
+    acc_ref[:] = acc
+
+    @pl.when(k == num_k_steps - 1)
+    def _flush():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _woq_kernel_8bit(
+    x_ref,
+    w_ref,
+    s_ref,
+    z_ref,
+    o_ref,
+    acc_ref,
+    *,
+    group_size: int,
+    num_k_steps: int,
+    scheme: str,
+    compute_dtype,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = w_ref[:].astype(jnp.int32)
+    if scheme == "asym":
+        q = q & 0xFF  # stored as wrapped uint8
+    qvals = q.astype(compute_dtype)
+    tk = w_ref.shape[0]
+    n_groups = tk // group_size
+    acc = acc_ref[:]
+    for gi in range(n_groups):
+        sl = slice(gi * group_size, (gi + 1) * group_size)
+        xg = x_ref[:, sl].astype(compute_dtype)
+        partial = jax.lax.dot(
+            xg,
+            qvals[sl, :],
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if compute_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            ),
+            preferred_element_type=jnp.float32,
+        )
+        row = k * n_groups + gi
+        scale = s_ref[pl.ds(row, 1), :].astype(jnp.float32)  # (1, TN)
+        acc = acc + partial * scale
+        if scheme == "asym":
+            zp = z_ref[pl.ds(row, 1), :].astype(jnp.float32)
+            xsum = jnp.sum(x_ref[:, sl].astype(jnp.float32), axis=1)
+            acc = acc - xsum[:, None] * (scale * zp)
+    acc_ref[:] = acc
+
+    @pl.when(k == num_k_steps - 1)
+    def _flush():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pick_tiles(M: int, N: int, K_eff: int, g: int):
+    tm = min(_round_up(max(M, 1), 8), 256)
+    tn = 256 if N % 256 == 0 else 128
+    # K tile must be a multiple of the group size (and of 128 for MXU).
+    base = max(g, 128)
+    tk = base
+    while tk * 2 <= 2048 and K_eff % (tk * 2) == 0:
+        tk *= 2
+    return tm, tn, tk
+
+
+class _WoqMeta(NamedTuple):
+    """Hashable static description of a QuantizedTensor + call options."""
+
+    weight_dtype: str
+    scheme: str
+    group_size: int
+    K: int
+    N: int
+    out_dtype: str
+    interpret: Optional[bool]
+
+    def rebuild(self, data, scales, zeros) -> QuantizedTensor:
+        return QuantizedTensor(
+            data=data,
+            scales=scales,
+            zeros=zeros,
+            weight_dtype=self.weight_dtype,
+            scheme=self.scheme,
+            group_size=self.group_size,
+            K=self.K,
+            N=self.N,
+        )
+
+
+def _pallas_woq(x, qt: QuantizedTensor, out_dtype, interpret):
+    """Dispatch to the Pallas kernel; fall back to ref on unfriendly shapes."""
+    if interpret is None:
+        interpret = use_pallas_interpret()
+
+    batch_shape = x.shape[:-1]
+    K = x.shape[-1]
+    if K != qt.K:
+        raise ValueError(f"x last dim {K} != quantized weight K {qt.K}")
+    M = int(np.prod(batch_shape, dtype=np.int64)) if batch_shape else 1
+    x2 = x.reshape(M, K)
+
+    g = qt.group_size
+    N = qt.N
+    compute_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+
+    zeros = qt.zeros
+    has_z = zeros is not None
+    if not has_z:
+        zeros = jnp.zeros((1, N), qt.scales.dtype)
+
+    if qt.bits == 4:
+        K2 = K // 2
+        tm, tn, tk = _pick_tiles(M, N, K2, g)
+        if N % tn or K2 % tk or tk % g:
+            return woq_matmul_ref(x, qt, out_dtype)
+        Mp = _round_up(M, tm)
+        if Mp != M:
+            x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+        grid = (Mp // tm, N // tn, K2 // tk)
+        sg = tk // g  # scale rows per K-step
+        G2 = K2 // g  # groups per half; hi scales start at block row G2 // sg
+
+        cb = None
+        if qt.is_codebook:
+            cb = tuple(float(v) for v in get_codebook(qt.weight_dtype))
+
+        kernel = functools.partial(
+            _woq_kernel_4bit,
+            group_size=g,
+            num_k_steps=grid[2],
+            groups_per_half=G2,
+            scheme=qt.scheme,
+            codebook=cb,
+            compute_dtype=compute_dtype,
+        )
+        G_total = qt.scales.shape[0]
+        Gz = zeros.shape[0]
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                # activation tile over the low-nibble K-slice [0, K2)
+                pl.BlockSpec(
+                    (tm, tk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM
+                ),
+                # activation tile over the high-nibble K-slice [K2, K)
+                pl.BlockSpec(
+                    (tm, tk),
+                    lambda i, j, k: (i, K2 // tk + k),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (tk, tn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+                ),
+                # all scale rows (small), column-blocked only
+                pl.BlockSpec(
+                    (G_total, tn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (Gz, tn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (tm, tn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Mp * N * K,
+                bytes_accessed=Mp * K * x2.dtype.itemsize
+                + K2 * N
+                + qt.scales.size * qt.scales.dtype.itemsize
+                + Mp * N * jnp.dtype(out_dtype).itemsize,
+                transcendentals=0,
+            ),
+        )(x2, x2, qt.data, qt.scales, zeros)
+    else:
+        tm, tn, tk = _pick_tiles(M, N, K, g)
+        if N % tn or K % tk or tk % g:
+            return woq_matmul_ref(x, qt, out_dtype)
+        Mp = _round_up(M, tm)
+        if Mp != M:
+            x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+        grid = (Mp // tm, N // tn, K // tk)
+        sg = tk // g
+        kernel = functools.partial(
+            _woq_kernel_8bit,
+            group_size=g,
+            num_k_steps=grid[2],
+            scheme=qt.scheme,
+            compute_dtype=compute_dtype,
+        )
+        G_total = qt.scales.shape[0]
+        Gz = zeros.shape[0]
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (tm, tk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (tk, tn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (G_total, tn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (Gz, tn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (tm, tn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Mp * N * K,
+                bytes_accessed=Mp * K * x2.dtype.itemsize + K * N,
+                transcendentals=0,
+            ),
+        )(x2, qt.data, qt.scales, zeros)
+
+    if out.shape[0] != M:
+        out = out[:M]
+    return out.reshape(*batch_shape, N)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _woq_core(meta: _WoqMeta, x, data, scales, zeros):
+    qt = meta.rebuild(data, scales, zeros)
+    return _pallas_woq(x, qt, jnp.dtype(meta.out_dtype), meta.interpret)
+
+
+def _woq_core_fwd(meta, x, data, scales, zeros):
+    out = _woq_core(meta, x, data, scales, zeros)
+    return out, (x, data, scales, zeros)
+
+
+def _woq_core_bwd(meta, res, gout):
+    x, data, scales, zeros = res
+    qt = meta.rebuild(data, scales, zeros)
+    w = dequantize(qt, dtype=jnp.float32)
+    dx = jnp.einsum(
+        "...n,kn->...k",
+        gout.astype(jnp.float32),
+        w,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    d_data = np.zeros(data.shape, dtype=jax.dtypes.float0)
+    d_scales = jnp.zeros_like(scales)
+    d_zeros = None if zeros is None else jnp.zeros_like(zeros)
+    return dx, d_data, d_scales, d_zeros
+
+
+_woq_core.defvjp(_woq_core_fwd, _woq_core_bwd)
+
+
+def woq_matmul(
+    x: jax.Array,
+    qt: QuantizedTensor,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """x (..., K) @ dequant(qt) (K, N) → (..., N), Pallas fast path."""
+    if qt.pre_scale is not None:
+        # AWQ/TEQ/SmoothQuant activation folding: effective weight is
+        # diag(pre_scale) @ W_stored, applied to x instead (one VPU multiply).
+        x = x * qt.pre_scale.astype(x.dtype)
+    meta = _WoqMeta(
+        weight_dtype=qt.weight_dtype,
+        scheme=qt.scheme,
+        group_size=qt.group_size,
+        K=qt.K,
+        N=qt.N,
+        out_dtype=jnp.dtype(out_dtype or x.dtype).name,
+        interpret=interpret,
+    )
+    return _woq_core(meta, x, qt.data, qt.scales, qt.zeros)
+
+
+def woq_linear(
+    x: jax.Array,
+    qt: QuantizedTensor,
+    bias: Optional[jax.Array] = None,
+    out_dtype=None,
+) -> jax.Array:
+    """Linear layer on a quantized weight (reference: qbits.cpp:113 woq_linear)."""
+    out = woq_matmul(x, qt, out_dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out

@@ -1,0 +1,43 @@
+from intel_extension_for_transformers_tpu.quantization.config import (
+    QuantizationConfigMixin,
+    MixedPrecisionConfig,
+    RtnConfig,
+    GPTQConfig,
+    AwqConfig,
+    TeqConfig,
+    AutoRoundConfig,
+    SmoothQuantConfig,
+    StaticQuantConfig,
+    DynamicQuantConfig,
+    QuantAwareTrainingConfig,
+    config_from_dict,
+)
+from intel_extension_for_transformers_tpu.quantization.quantize import (
+    quantize_model,
+    dequantize_model,
+    QuantizedParams,
+)
+from intel_extension_for_transformers_tpu.quantization.save_load import (
+    save_low_bit,
+    load_low_bit,
+)
+
+__all__ = [
+    "QuantizationConfigMixin",
+    "MixedPrecisionConfig",
+    "RtnConfig",
+    "GPTQConfig",
+    "AwqConfig",
+    "TeqConfig",
+    "AutoRoundConfig",
+    "SmoothQuantConfig",
+    "StaticQuantConfig",
+    "DynamicQuantConfig",
+    "QuantAwareTrainingConfig",
+    "config_from_dict",
+    "quantize_model",
+    "dequantize_model",
+    "QuantizedParams",
+    "save_low_bit",
+    "load_low_bit",
+]

@@ -1,0 +1,140 @@
+"""GPTQ: Hessian-corrected weight quantization, JAX-native.
+
+Functional re-derivation of the GPTQ algorithm the reference delegates to
+neural_compressor (reference: llm/quantization/utils.py:555-687, GPTQConfig at
+utils/config.py:865). Implemented as blocked column-by-column error
+compensation with a `lax.fori_loop`-friendly structure: the sequential
+per-column update runs over columns of W^T blocks (the K dim of our (K, N)
+layout), with the Cholesky-inverse Hessian trick from the GPTQ paper.
+
+Note the layout: our weights are (K, N) = (in, out); GPTQ quantizes along K
+(each output column n has its row w[:, n] quantized with error feedback
+through H^{-1} where H = 2 X^T X from calibration activations X (S, K)).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from intel_extension_for_transformers_tpu.ops.packing import (
+    QuantizedTensor,
+    pack_int4,
+    quantize_groupwise,
+)
+from intel_extension_for_transformers_tpu.quantization.config import GPTQConfig
+
+
+def _group_scales(w: jax.Array, group_size: int, scheme: str, qmax: float):
+    """Per-group scale/zero over the K axis of a (K, N) weight."""
+    K, N = w.shape
+    g = w.reshape(K // group_size, group_size, N)
+    if scheme == "sym":
+        absmax = jnp.max(jnp.abs(g), axis=1)
+        scales = jnp.where(absmax == 0, 1.0, absmax / qmax)
+        zeros = jnp.zeros_like(scales)
+    else:
+        wmin = jnp.min(g, axis=1)
+        wmax = jnp.max(g, axis=1)
+        rng = wmax - wmin
+        scales = jnp.where(rng == 0, 1.0, rng / qmax)
+        zeros = jnp.round(-wmin / scales)
+    return scales, zeros  # (G, N)
+
+
+def gptq_quantize(
+    w: jax.Array, x_cal: jax.Array, config: GPTQConfig
+) -> QuantizedTensor:
+    """Quantize (K, N) weight with Hessian feedback from x_cal (S, K)."""
+    if config.weight_dtype not in ("int4", "int8"):
+        # codebook dtypes: fall back to RTN packing after GPTQ would need
+        # nearest-codebook rounding inside the loop; keep v1 scope tight.
+        return quantize_groupwise(
+            w,
+            weight_dtype=config.weight_dtype,
+            scheme=config.scheme,
+            group_size=config.group_size,
+        )
+
+    K, N = w.shape
+    gs = config.group_size if config.group_size > 0 else K
+    bits = 8 if config.weight_dtype == "int8" else 4
+    qmax = 127.0 if bits == 8 else (7.0 if config.scheme == "sym" else 15.0)
+    if config.scheme == "asym" and bits == 4:
+        qmax = 15.0
+
+    w = w.astype(jnp.float32)
+    x = x_cal.astype(jnp.float32).reshape(-1, K)
+
+    # Hessian H = 2 X^T X / S + damping (reference GPTQ: damp_percent of mean diag)
+    H = 2.0 * (x.T @ x) / x.shape[0]
+    damp = config.damp_percent * jnp.mean(jnp.diag(H))
+    H = H + jnp.eye(K, dtype=jnp.float32) * damp
+
+    # dead input channels: H_ii == 0 → weight contribution irrelevant
+    dead = jnp.diag(H) <= damp * 1.5
+    H = jnp.where(
+        jnp.diag(dead)[None, :] * 0 + jnp.diag(dead.astype(H.dtype)) > 0,
+        jnp.eye(K, dtype=H.dtype),
+        H,
+    ) if False else H  # keep damping-only stabilization; dead handled by damp
+
+    # Cholesky of H^{-1}: the GPTQ "inverse Hessian upper factor"
+    Hinv = jnp.linalg.inv(H)
+    # upper-triangular factor via Cholesky of Hinv
+    L = jnp.linalg.cholesky(Hinv)  # lower
+    U = L.T  # Hinv = L @ L.T; GPTQ uses chol(Hinv, upper=True) = U
+
+    scales, zeros = _group_scales(w, gs, config.scheme, qmax)  # (G, N)
+
+    lo = -qmax - 1.0 if config.scheme == "sym" else 0.0
+    hi = qmax
+
+    def quant_col(wk, k):
+        """RTN one K-row against its group's scale/zero."""
+        gidx = k // gs
+        s = scales[gidx]  # (N,)
+        z = zeros[gidx]
+        q = jnp.clip(jnp.round(wk / s) + (z if config.scheme == "asym" else 0.0), lo, hi)
+        deq = (q - (z if config.scheme == "asym" else 0.0)) * s
+        return q, deq
+
+    def body(k, carry):
+        wcur, qacc = carry
+        wk = wcur[k]  # (N,)
+        q, deq = quant_col(wk, k)
+        err = (wk - deq) / U[k, k]
+        # propagate error to remaining rows: w[j] -= U[k, j] * err for j > k
+        row = U[k]  # (K,)
+        mask = (jnp.arange(K) > k).astype(jnp.float32)
+        update = (row * mask)[:, None] * err[None, :]  # (K, N)
+        wcur = wcur - update
+        qacc = qacc.at[k].set(q)
+        return wcur, qacc
+
+    qinit = jnp.zeros((K, N), jnp.float32)
+    _, qvals = jax.lax.fori_loop(0, K, body, (w, qinit))
+
+    if bits == 4:
+        if config.scheme == "sym":
+            data = pack_int4(qvals.astype(jnp.int8))
+        else:
+            data = pack_int4(qvals.astype(jnp.uint8).astype(jnp.int8))
+    else:
+        if config.scheme == "sym":
+            data = qvals.astype(jnp.int8)
+        else:
+            data = qvals.astype(jnp.uint8).astype(jnp.int8)
+
+    return QuantizedTensor(
+        data=data,
+        scales=scales.astype(jnp.dtype(config.scale_dtype)),
+        zeros=zeros.astype(jnp.dtype(config.scale_dtype))
+        if config.scheme == "asym"
+        else None,
+        weight_dtype=config.weight_dtype,
+        scheme=config.scheme,
+        group_size=gs,
+        K=K,
+        N=N,
+    )

@@ -1,0 +1,179 @@
+"""Quantization API tests: config round-trip, model conversion, save/load.
+
+Models reference tests/CI/test_weight_only.py (config round-trip :93,
+forward parity :117, save/load :196) and test_quantization.py.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from intel_extension_for_transformers_tpu.ops import woq_linear
+from intel_extension_for_transformers_tpu.ops.packing import QuantizedTensor
+from intel_extension_for_transformers_tpu.quantization import (
+    AwqConfig,
+    GPTQConfig,
+    MixedPrecisionConfig,
+    RtnConfig,
+    SmoothQuantConfig,
+    config_from_dict,
+    dequantize_model,
+    load_low_bit,
+    quantize_model,
+    save_low_bit,
+)
+
+
+def _toy_params(seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "encoder": {
+            "layer_0": {
+                "attention": {
+                    "kernel": jnp.asarray(
+                        rng.normal(size=(256, 256)).astype(np.float32) * 0.05
+                    ),
+                    "bias": jnp.zeros((256,), jnp.float32),
+                },
+                "mlp": {
+                    "kernel": jnp.asarray(
+                        rng.normal(size=(256, 512)).astype(np.float32) * 0.05
+                    ),
+                },
+            },
+        },
+        "embeddings": {
+            "word_embeddings": jnp.asarray(
+                rng.normal(size=(1000, 256)).astype(np.float32)
+            ),
+        },
+        "lm_head": {
+            "kernel": jnp.asarray(rng.normal(size=(256, 1000)).astype(np.float32)),
+        },
+    }
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = RtnConfig(weight_dtype="nf4", group_size=64, scheme="sym")
+    path = tmp_path / "cfg.json"
+    cfg.to_json_file(str(path))
+    cfg2 = RtnConfig.from_json_file(str(path))
+    assert cfg2.weight_dtype == "nf4"
+    assert cfg2.group_size == 64
+    d = cfg.to_dict()
+    cfg3 = config_from_dict(d)
+    assert isinstance(cfg3, RtnConfig)
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        RtnConfig(weight_dtype="int3")
+    with pytest.raises(ValueError):
+        RtnConfig(scheme="bogus")
+    with pytest.raises(ValueError):
+        GPTQConfig(damp_percent=2.0)
+    with pytest.raises(ValueError):
+        SmoothQuantConfig(alpha=1.5)
+
+
+def test_quantize_model_rtn_skips_right_leaves():
+    params = _toy_params()
+    qp = quantize_model(params, RtnConfig(group_size=64))
+    tree = qp.params
+    assert isinstance(tree["encoder"]["layer_0"]["attention"]["kernel"], QuantizedTensor)
+    assert isinstance(tree["encoder"]["layer_0"]["mlp"]["kernel"], QuantizedTensor)
+    # lm_head in modules_to_not_convert; embeddings excluded by name; bias by ndim
+    assert not isinstance(tree["lm_head"]["kernel"], QuantizedTensor)
+    assert not isinstance(tree["embeddings"]["word_embeddings"], QuantizedTensor)
+    assert not isinstance(tree["encoder"]["layer_0"]["attention"]["bias"], QuantizedTensor)
+    assert len(qp.quantized_paths) == 2
+
+
+def test_quantized_forward_parity():
+    params = _toy_params()
+    qp = quantize_model(params, RtnConfig(group_size=32))
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(4, 256)), jnp.float32) * 0.1
+    w = params["encoder"]["layer_0"]["attention"]["kernel"]
+    b = params["encoder"]["layer_0"]["attention"]["bias"]
+    ref = x @ w + b
+    out = woq_linear(x, qp.params["encoder"]["layer_0"]["attention"]["kernel"], bias=b)
+    rel = float(jnp.abs(out - ref).mean() / jnp.abs(ref).mean())
+    assert rel < 0.15, rel
+
+
+def test_mixed_precision_cast():
+    params = _toy_params()
+    qp = quantize_model(params, MixedPrecisionConfig())
+    assert qp.params["encoder"]["layer_0"]["mlp"]["kernel"].dtype == jnp.bfloat16
+
+
+def test_dequantize_model_shape():
+    params = _toy_params()
+    qp = quantize_model(params, RtnConfig(group_size=64))
+    deq = dequantize_model(qp)
+    assert deq["encoder"]["layer_0"]["mlp"]["kernel"].shape == (256, 512)
+
+
+def test_save_load_low_bit_roundtrip(tmp_path):
+    params = _toy_params()
+    qp = quantize_model(params, RtnConfig(group_size=64, weight_dtype="int4"))
+    save_low_bit(qp, str(tmp_path))
+    qp2 = load_low_bit(str(tmp_path))
+    assert isinstance(qp2.config, RtnConfig)
+    assert qp2.quantized_paths == sorted(qp.quantized_paths)
+
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(4, 256)), jnp.float32)
+    a = woq_linear(x, qp.params["encoder"]["layer_0"]["mlp"]["kernel"])
+    b = woq_linear(x, qp2.params["encoder"]["layer_0"]["mlp"]["kernel"])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+    # non-quantized leaves preserved
+    np.testing.assert_array_equal(
+        np.asarray(qp2.params["embeddings"]["word_embeddings"]),
+        np.asarray(params["embeddings"]["word_embeddings"]),
+    )
+
+
+def test_gptq_improves_over_rtn():
+    rng = np.random.default_rng(3)
+    K, N, S = 128, 128, 256
+    w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+    # correlated activations make Hessian information matter
+    base = rng.normal(size=(S, 16)).astype(np.float32)
+    proj = rng.normal(size=(16, K)).astype(np.float32)
+    x = jnp.asarray(base @ proj + 0.05 * rng.normal(size=(S, K)).astype(np.float32))
+
+    from intel_extension_for_transformers_tpu.ops.packing import (
+        dequantize,
+        quantize_groupwise,
+    )
+    from intel_extension_for_transformers_tpu.quantization.gptq import gptq_quantize
+
+    cfg = GPTQConfig(weight_dtype="int4", group_size=32, scheme="sym")
+    qt_gptq = gptq_quantize(w, x, cfg)
+    qt_rtn = quantize_groupwise(w, weight_dtype="int4", group_size=32)
+
+    y = x @ w
+    e_gptq = float(jnp.mean((x @ dequantize(qt_gptq) - y) ** 2))
+    e_rtn = float(jnp.mean((x @ dequantize(qt_rtn) - y) ** 2))
+    assert e_gptq < e_rtn, (e_gptq, e_rtn)
+
+
+def test_awq_pre_scale_forward():
+    rng = np.random.default_rng(4)
+    K, N, S = 128, 128, 64
+    w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+    # activations with strong per-channel magnitude variation
+    mag = np.exp(rng.normal(size=(K,)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(S, K)).astype(np.float32) * mag)
+
+    from intel_extension_for_transformers_tpu.quantization.awq import awq_quantize
+    from intel_extension_for_transformers_tpu.ops import woq_matmul
+
+    cfg = AwqConfig(weight_dtype="int4", group_size=32)
+    qt = awq_quantize(w, x, cfg)
+    assert qt.pre_scale is not None
+    y = np.asarray(x @ w)
+    out = np.asarray(woq_matmul(x, qt))
+    rel = np.abs(out - y).mean() / np.abs(y).mean()
+    assert rel < 0.08, rel
