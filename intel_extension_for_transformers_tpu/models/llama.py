@@ -1,0 +1,281 @@
+"""Llama-family decoder (Llama/Mistral-class: RMSNorm, RoPE, GQA, SwiGLU).
+
+TPU-native replacement for the reference's LLM Runtime decoders
+(reference: neural-speed INT4 llama path consumed at
+modeling/modeling_auto.py:812-827, and the Gaudi static-shape generation port
+modeling/modeling_gaudi/generation/utils.py). Key TPU choices:
+
+- **Static-shape KV cache**: a preallocated (B, S_max, Hkv, D) buffer per
+  layer with a scalar `length`; decode writes via dynamic_update_slice. This
+  is the same bucketed-static-shapes idea the reference uses on Gaudi
+  (generation/utils.py:88-110) — XLA compiles one prefill and one decode
+  program, no recompiles per token.
+- Params are plain dicts; linear weights are (K, N) leaves swappable for
+  QuantizedTensor (INT4 decode = the reference's neural-speed INT4 role).
+- GQA via head repetition inside ops.layers.attention.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from intel_extension_for_transformers_tpu.ops.layers import (
+    attention,
+    dense,
+    rms_norm,
+    rotary_embedding,
+    apply_rotary,
+    silu,
+)
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    intermediate_size: int = 11008
+    max_position_embeddings: int = 4096
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    tie_word_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def tiny(cls, **kw):
+        base = dict(
+            vocab_size=512,
+            hidden_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            intermediate_size=256,
+            max_position_embeddings=256,
+        )
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
+    def llama2_7b(cls):
+        return cls()
+
+    @classmethod
+    def llama3_8b(cls):
+        return cls(
+            vocab_size=128256,
+            num_key_value_heads=8,
+            intermediate_size=14336,
+            rope_theta=500000.0,
+            max_position_embeddings=8192,
+        )
+
+
+def llama_config_from_hf(hf_config) -> LlamaConfig:
+    return LlamaConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.hidden_size,
+        num_hidden_layers=hf_config.num_hidden_layers,
+        num_attention_heads=hf_config.num_attention_heads,
+        num_key_value_heads=getattr(
+            hf_config, "num_key_value_heads", hf_config.num_attention_heads
+        ),
+        intermediate_size=hf_config.intermediate_size,
+        max_position_embeddings=hf_config.max_position_embeddings,
+        rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+        rms_norm_eps=hf_config.rms_norm_eps,
+        tie_word_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+    )
+
+
+def _linear_init(rng, k, n, scale=0.02):
+    return {"kernel": jax.random.normal(rng, (k, n), jnp.float32) * scale}
+
+
+def llama_init_params(rng: jax.Array, config: LlamaConfig) -> dict:
+    h = config.hidden_size
+    kvh = config.num_key_value_heads * config.head_dim
+    keys = jax.random.split(rng, config.num_hidden_layers + 3)
+    params: dict[str, Any] = {
+        "embed_tokens": jax.random.normal(keys[0], (config.vocab_size, h)) * 0.02,
+        "layers": [],
+        "final_norm": jnp.ones((h,), jnp.float32),
+        "lm_head": _linear_init(keys[1], h, config.vocab_size),
+    }
+    for li in range(config.num_hidden_layers):
+        lk = jax.random.split(keys[2 + li], 7)
+        params["layers"].append(
+            {
+                "input_norm": jnp.ones((h,), jnp.float32),
+                "attention": {
+                    "q": _linear_init(lk[0], h, h),
+                    "k": _linear_init(lk[1], h, kvh),
+                    "v": _linear_init(lk[2], h, kvh),
+                    "o": _linear_init(lk[3], h, h),
+                },
+                "post_norm": jnp.ones((h,), jnp.float32),
+                "mlp": {
+                    "gate": _linear_init(lk[4], h, config.intermediate_size),
+                    "up": _linear_init(lk[5], h, config.intermediate_size),
+                    "down": _linear_init(lk[6], config.intermediate_size, h),
+                },
+            }
+        )
+    return params
+
+
+def llama_param_axes(config: LlamaConfig) -> dict:
+    la = {
+        "input_norm": None,
+        "attention": {
+            "q": {"kernel": ("embed", "heads")},
+            "k": {"kernel": ("embed", "kv")},
+            "v": {"kernel": ("embed", "kv")},
+            "o": {"kernel": ("heads", "embed")},
+        },
+        "post_norm": None,
+        "mlp": {
+            "gate": {"kernel": ("embed", "mlp")},
+            "up": {"kernel": ("embed", "mlp")},
+            "down": {"kernel": ("mlp", "embed")},
+        },
+    }
+    return {
+        "embed_tokens": ("vocab", "embed"),
+        "layers": [la] * config.num_hidden_layers,
+        "final_norm": None,
+        "lm_head": {"kernel": ("embed", "vocab")},
+    }
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class KVCache:
+    """Static-shape per-layer KV buffers + scalar fill length."""
+
+    k: list  # num_layers × (B, S, Hkv, D)
+    v: list
+    length: jax.Array  # scalar int32
+
+    @property
+    def max_length(self) -> int:
+        return self.k[0].shape[1]
+
+
+jax.tree_util.register_dataclass(KVCache, data_fields=["k", "v", "length"], meta_fields=[])
+
+
+def init_kv_cache(
+    config: LlamaConfig, batch: int, max_length: int, dtype=jnp.bfloat16
+) -> KVCache:
+    shape = (batch, max_length, config.num_key_value_heads, config.head_dim)
+    return KVCache(
+        k=[jnp.zeros(shape, dtype) for _ in range(config.num_hidden_layers)],
+        v=[jnp.zeros(shape, dtype) for _ in range(config.num_hidden_layers)],
+        length=jnp.int32(0),
+    )
+
+
+def _decoder_layer(layer, x, config: LlamaConfig, cos, sin, mask, cache_k, cache_v, start):
+    B, T, h = x.shape
+    nh = config.num_attention_heads
+    nkv = config.num_key_value_heads
+    hd = config.head_dim
+
+    att = layer["attention"]
+    xn = rms_norm(x, layer["input_norm"], config.rms_norm_eps)
+    q = dense(xn, att["q"]["kernel"]).reshape(B, T, nh, hd)
+    k = dense(xn, att["k"]["kernel"]).reshape(B, T, nkv, hd)
+    v = dense(xn, att["v"]["kernel"]).reshape(B, T, nkv, hd)
+    q = apply_rotary(q, cos, sin)
+    k = apply_rotary(k, cos, sin)
+
+    if cache_k is not None:
+        # write new K/V at [start, start+T); attend over the whole buffer
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k.astype(cache_k.dtype), (0, start, 0, 0)
+        )
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v.astype(cache_v.dtype), (0, start, 0, 0)
+        )
+        k_all, v_all = cache_k.astype(x.dtype), cache_v.astype(x.dtype)
+    else:
+        k_all, v_all = k, v
+
+    ctx = attention(q, k_all, v_all, mask=mask).reshape(B, T, h)
+    x = x + dense(ctx, att["o"]["kernel"])
+
+    mlp = layer["mlp"]
+    xn = rms_norm(x, layer["post_norm"], config.rms_norm_eps)
+    y = silu(dense(xn, mlp["gate"]["kernel"])) * dense(xn, mlp["up"]["kernel"])
+    x = x + dense(y, mlp["down"]["kernel"])
+    return x, cache_k, cache_v
+
+
+@partial(jax.jit, static_argnames=("config",))
+def llama_apply(
+    params: dict,
+    config: LlamaConfig,
+    input_ids: jax.Array,  # (B, T)
+    cache: Optional[KVCache] = None,
+    attention_mask: Optional[jax.Array] = None,  # (B, S_total) 1=valid
+) -> tuple[jax.Array, Optional[KVCache]]:
+    """Forward → (logits (B, T, V), updated cache).
+
+    Without cache: plain causal forward (training / scoring).
+    With cache: writes K/V at [cache.length, cache.length+T) and attends over
+    the full static buffer with position masking — same program for prefill
+    (T=prompt) and decode (T=1).
+    """
+    B, T = input_ids.shape
+    x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+
+    start = cache.length if cache is not None else jnp.int32(0)
+    positions = start + jnp.arange(T)[None, :]  # (1, T)
+    positions = jnp.broadcast_to(positions, (B, T))
+    cos, sin = rotary_embedding(positions, config.head_dim, config.rope_theta)
+
+    if cache is not None:
+        S = cache.max_length
+        ki = jnp.arange(S)[None, :]  # (1, S)
+        qi = positions[:, :, None]  # (B, T, 1)
+        mask = ki[:, None, :] <= qi  # (B, T, S) causal over absolute positions
+        mask = mask[:, None, :, :]  # (B, 1, T, S)
+        if attention_mask is not None:
+            pad = attention_mask.astype(bool)
+            mask = mask & pad[:, None, None, :S]
+    else:
+        qi = jnp.arange(T)[:, None]
+        ki = jnp.arange(T)[None, :]
+        mask = (ki <= qi)[None, None, :, :]
+        if attention_mask is not None:
+            mask = mask & attention_mask.astype(bool)[:, None, None, :T]
+
+    new_k, new_v = [], []
+    for li, layer in enumerate(params["layers"]):
+        ck = cache.k[li] if cache is not None else None
+        cv = cache.v[li] if cache is not None else None
+        x, ck, cv = _decoder_layer(layer, x, config, cos, sin, mask, ck, cv, start)
+        new_k.append(ck)
+        new_v.append(cv)
+
+    x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    logits = dense(x, params["lm_head"]["kernel"])
+
+    new_cache = None
+    if cache is not None:
+        new_cache = KVCache(k=new_k, v=new_v, length=cache.length + T)
+    return logits, new_cache
