@@ -1,0 +1,200 @@
+"""Retrieval engine tests: flat/int8/sharded/IVF indexes vs exact oracle,
+splitter, parser, BM25.
+
+The exact-numpy oracle plays the role FAISS IndexFlatIP plays in the north
+star (BASELINE.json): recall is measured against full-precision exhaustive
+search.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from intel_extension_for_transformers_tpu.retrieval import (
+    BM25Retriever,
+    DocumentParser,
+    FlatIndex,
+    IVFIndex,
+    RecursiveCharacterTextSplitter,
+    ShardedFlatIndex,
+)
+
+
+def _data(n=2000, d=64, nq=32, seed=0):
+    rng = np.random.default_rng(seed)
+    docs = rng.normal(size=(n, d)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q = rng.normal(size=(nq, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return docs, q
+
+
+def _oracle_topk(docs, q, k):
+    sims = q @ docs.T
+    return np.argsort(-sims, axis=1)[:, :k]
+
+
+def _recall(ids, oracle):
+    hits = 0
+    for row, orow in zip(ids, oracle):
+        hits += len(set(row.tolist()) & set(orow.tolist()))
+    return hits / oracle.size
+
+
+def test_flat_index_exact_matches_oracle():
+    docs, q = _data()
+    idx = FlatIndex(dim=64, dtype="float32")
+    ids = idx.add(docs)
+    assert len(idx) == 2000 and ids[-1] == 1999
+    scores, got = idx.search(q, k=10)
+    oracle = _oracle_topk(docs, q, 10)
+    assert _recall(got, oracle) == 1.0
+    # scores sorted descending
+    assert np.all(np.diff(scores, axis=1) <= 1e-6)
+
+
+def test_flat_index_bf16_recall():
+    docs, q = _data()
+    idx = FlatIndex(dim=64, dtype="bfloat16")
+    idx.add(docs)
+    _, got = idx.search(q, k=10)
+    assert _recall(got, _oracle_topk(docs, q, 10)) >= 0.97
+
+
+def test_flat_index_int8_recall():
+    docs, q = _data()
+    idx = FlatIndex(dim=64, dtype="int8")
+    idx.add(docs)
+    _, got = idx.search(q, k=10)
+    assert _recall(got, _oracle_topk(docs, q, 10)) >= 0.95
+
+
+def test_flat_index_incremental_add_and_growth():
+    docs, q = _data(n=600)
+    idx = FlatIndex(dim=64, dtype="float32", capacity=64)
+    for i in range(0, 600, 100):
+        idx.add(docs[i : i + 100])
+    assert len(idx) == 600
+    _, got = idx.search(q[:4], k=5)
+    assert _recall(got, _oracle_topk(docs, q[:4], 5)) == 1.0
+
+
+def test_flat_index_single_query_and_cosine():
+    docs, q = _data()
+    idx = FlatIndex(dim=64, dtype="float32", metric="cosine")
+    idx.add(docs * 3.7)  # arbitrary norms; cosine must normalize
+    scores, got = idx.search(q[0], k=7)
+    assert got.shape == (7,)
+    oracle = _oracle_topk(docs, q[:1], 7)
+    assert _recall(got[None], oracle) == 1.0
+
+
+def test_flat_index_save_load(tmp_path):
+    docs, q = _data(n=500)
+    idx = FlatIndex(dim=64, dtype="int8")
+    idx.add(docs)
+    idx.save(str(tmp_path))
+    idx2 = FlatIndex.load(str(tmp_path))
+    s1, i1 = idx.search(q, k=5)
+    s2, i2 = idx2.search(q, k=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+def test_flat_index_empty_raises():
+    idx = FlatIndex(dim=16)
+    with pytest.raises(ValueError):
+        idx.search(np.zeros((1, 16), np.float32), k=1)
+
+
+def test_sharded_index_matches_flat(mesh8):
+    docs, q = _data(n=1111)  # deliberately not divisible by 8
+    sharded = ShardedFlatIndex(dim=64, mesh=mesh8, axis="dp", dtype="float32")
+    sharded.add(docs)
+    _, got = sharded.search(q, k=10)
+    oracle = _oracle_topk(docs, q, 10)
+    assert _recall(got, oracle) == 1.0
+
+
+def test_sharded_index_int8(mesh8):
+    docs, q = _data(n=1024)
+    sharded = ShardedFlatIndex(dim=64, mesh=mesh8, axis="dp", dtype="int8")
+    sharded.add(docs)
+    _, got = sharded.search(q, k=10)
+    assert _recall(got, _oracle_topk(docs, q, 10)) >= 0.95
+
+
+def test_ivf_index_recall():
+    docs, q = _data(n=4000)
+    idx = IVFIndex(dim=64, n_lists=32, dtype="float32")
+    idx.train(docs[:2000])
+    idx.add(docs)
+    _, got = idx.search(q, k=10, nprobe=8)
+    oracle = _oracle_topk(docs, q, 10)
+    # IVF with 8/32 probes on unstructured data: recall well above random
+    assert _recall(got, oracle) >= 0.6
+    _, got_all = idx.search(q, k=10, nprobe=32)
+    assert _recall(got_all, oracle) == 1.0  # all probes == exact
+
+
+# --------------------------- text utilities ---------------------------
+
+
+def test_splitter_chunks_and_overlap():
+    sp = RecursiveCharacterTextSplitter(chunk_size=100, chunk_overlap=20)
+    text = " ".join(f"word{i}" for i in range(200))
+    chunks = sp.split_text(text)
+    assert len(chunks) > 3
+    assert all(len(c) <= 120 for c in chunks)  # size + carried overlap
+
+
+def test_splitter_documents_metadata():
+    sp = RecursiveCharacterTextSplitter(chunk_size=50, chunk_overlap=0)
+    docs = [{"content": "a" * 120, "metadata": {"source": "x"}}]
+    out = sp.split_documents(docs)
+    assert len(out) >= 2
+    assert out[0]["metadata"]["source"] == "x"
+    assert out[1]["metadata"]["chunk"] == 1
+
+
+def test_parser_formats(tmp_path):
+    (tmp_path / "a.txt").write_text("hello tpu world. " * 50)
+    (tmp_path / "b.md").write_text("# Title\n\nSome content here. " * 30)
+    (tmp_path / "c.jsonl").write_text(
+        "\n".join(json.dumps({"content": f"doc {i}", "id": i}) for i in range(3))
+    )
+    (tmp_path / "d.html").write_text(
+        "<html><script>x=1</script><body><p>visible text</p></body></html>"
+    )
+    (tmp_path / "e.csv").write_text("question,answer\nWhat is TPU?,A tensor processor\n")
+
+    p = DocumentParser(chunk_size=200, chunk_overlap=10)
+    docs = p.load(str(tmp_path))
+    contents = " ".join(d["content"] for d in docs)
+    assert "hello tpu world" in contents
+    assert "Some content here" in contents
+    assert "doc 1" in contents
+    assert "visible text" in contents and "x=1" not in contents
+    assert "What is TPU?" in contents
+    assert all("source" in d["metadata"] for d in docs)
+
+
+def test_parser_unsupported_format(tmp_path):
+    f = tmp_path / "x.bin"
+    f.write_bytes(b"\x00\x01")
+    p = DocumentParser()
+    with pytest.raises(ValueError):
+        p.load_file(str(f))
+
+
+def test_bm25_ranking():
+    docs = [
+        {"content": "the quick brown fox jumps over the lazy dog", "metadata": {}},
+        {"content": "tensor processing units accelerate machine learning", "metadata": {}},
+        {"content": "quantization reduces model memory footprint", "metadata": {}},
+    ]
+    r = BM25Retriever.from_documents(docs)
+    out = r.get_relevant_documents("tensor machine learning", k=2)
+    assert out[0]["content"].startswith("tensor processing")
