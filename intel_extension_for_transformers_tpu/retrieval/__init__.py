@@ -8,6 +8,17 @@ from intel_extension_for_transformers_tpu.retrieval.splitter import (
 )
 from intel_extension_for_transformers_tpu.retrieval.parser import DocumentParser
 from intel_extension_for_transformers_tpu.retrieval.bm25 import BM25Retriever
+from intel_extension_for_transformers_tpu.retrieval.embedder import (
+    TextEmbedder,
+    SimpleTokenizer,
+)
+from intel_extension_for_transformers_tpu.retrieval.reranker import (
+    CrossEncoderReranker,
+)
+from intel_extension_for_transformers_tpu.retrieval.child_parent import (
+    ChildParentRetriever,
+)
+from intel_extension_for_transformers_tpu.retrieval.agent import RetrievalAgent
 
 __all__ = [
     "FlatIndex",
@@ -16,4 +27,9 @@ __all__ = [
     "RecursiveCharacterTextSplitter",
     "DocumentParser",
     "BM25Retriever",
+    "TextEmbedder",
+    "SimpleTokenizer",
+    "CrossEncoderReranker",
+    "ChildParentRetriever",
+    "RetrievalAgent",
 ]
