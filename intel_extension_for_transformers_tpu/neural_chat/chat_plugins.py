@@ -1,0 +1,182 @@
+"""Built-in chat pipeline plugins: safety, cache, memory, NER, intent.
+
+Parity with the reference plugin set (reference: pipeline/plugins/):
+- SafetyChecker — dict-based sensitive-word matching
+  (security/safety_checker.py: sensitive_check / sensitive_filter).
+- ChatCache — semantic response cache: embedding similarity over previous
+  queries (caching/cache.py, gptcache-based in the reference; here it reuses
+  our own FlatIndex instead of faiss).
+- Memory — conversation buffer (memory/memory.py).
+- NamedEntityRecognizer — regex/heuristic NER stub standing in for the spacy
+  pipeline (ner/ner.py), gated the same way the reference gates heavy deps.
+- IntentDetector — LLM-probe intent detection (detector/intent_detection.py).
+Audio (ASR/TTS) and image/video plugins are declared but disabled unless
+their deps exist — matching the reference's optional-dependency gating
+(chatbot.py:33-100).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional
+
+import numpy as np
+
+from intel_extension_for_transformers_tpu.neural_chat.plugins import register_plugin
+
+# A small default denylist; production deployments load their own dictionary
+# file like the reference's sensitive-word dict.
+DEFAULT_SENSITIVE_WORDS = [
+    "damn",
+    "hell no",
+    "idiot",
+    "stupid fool",
+]
+
+
+@register_plugin("safety_checker")
+class SafetyChecker:
+    def __init__(
+        self,
+        dict_path: Optional[str] = None,
+        matchType: int = 2,
+        extra_words: Optional[List[str]] = None,
+    ):
+        words = list(DEFAULT_SENSITIVE_WORDS)
+        if dict_path:
+            with open(dict_path, encoding="utf-8") as f:
+                words += [w.strip() for w in f if w.strip()]
+        if extra_words:
+            words += extra_words
+        self.words = sorted(set(w.lower() for w in words), key=len, reverse=True)
+
+    def sensitive_check(self, text: str) -> bool:
+        low = text.lower()
+        return any(w in low for w in self.words)
+
+    def sensitive_filter(self, text: str) -> str:
+        out = text
+        for w in self.words:
+            out = re.sub(re.escape(w), "*" * len(w), out, flags=re.I)
+        return out
+
+    # hook protocol
+    def pre_llm_inference_actions(self, query: str):
+        if self.sensitive_check(query):
+            return {
+                "stop_inference": True,
+                "response": "Your query contains sensitive words, please try another query.",
+            }
+        return query
+
+    def post_llm_inference_actions(self, response: str) -> str:
+        return self.sensitive_filter(response)
+
+
+@register_plugin("cache")
+class ChatCache:
+    """Semantic cache: answer repeats of semantically-equal queries
+    (reference: caching/cache.py ChatCache with gptcache; here: our own
+    embedding index, cosine threshold)."""
+
+    def __init__(self, embedder=None, similarity_threshold: float = 0.9, capacity: int = 4096):
+        self.embedder = embedder
+        self.threshold = similarity_threshold
+        self.queries: List[str] = []
+        self.responses: List[str] = []
+        self._index = None
+        self._capacity = capacity
+
+    def _encode(self, text: str) -> np.ndarray:
+        if self.embedder is not None:
+            return np.asarray(self.embedder.encode([text], is_query=False))[0]
+        # hashing fallback embedder (offline/test)
+        rngv = np.zeros(64, np.float32)
+        for tok in re.findall(r"\w+", text.lower()):
+            rngv[hash(tok) % 64] += 1.0
+        n = np.linalg.norm(rngv)
+        return rngv / n if n else rngv
+
+    def get(self, query: str) -> Optional[str]:
+        if not self.queries:
+            return None
+        from intel_extension_for_transformers_tpu.retrieval.index import FlatIndex
+
+        if self._index is None:
+            return None
+        v = self._encode(query)
+        scores, ids = self._index.search(v, k=1)
+        if float(scores[0]) >= self.threshold:
+            return self.responses[int(ids[0])]
+        return None
+
+    def put(self, query: str, response: str) -> None:
+        from intel_extension_for_transformers_tpu.retrieval.index import FlatIndex
+
+        v = self._encode(query)
+        if self._index is None:
+            self._index = FlatIndex(dim=v.shape[0], dtype="float32", metric="cosine")
+        self._index.add(v[None, :])
+        self.queries.append(query)
+        self.responses.append(response)
+
+    def pre_llm_inference_actions(self, query: str):
+        hit = self.get(query)
+        if hit is not None:
+            return {"stop_inference": True, "response": hit}
+        return query
+
+
+@register_plugin("memory")
+class Memory:
+    """Conversation buffer (reference: memory/memory.py)."""
+
+    def __init__(self, max_turns: int = 10):
+        self.max_turns = max_turns
+        self.turns: List[tuple] = []
+
+    def add(self, query: str, response: str) -> None:
+        self.turns.append((query, response))
+        self.turns = self.turns[-self.max_turns :]
+
+    def context(self) -> str:
+        return "\n".join(f"User: {q}\nAssistant: {r}" for q, r in self.turns)
+
+    def clear(self) -> None:
+        self.turns = []
+
+
+@register_plugin("ner")
+class NamedEntityRecognizer:
+    """Heuristic NER (emails, urls, capitalized spans, numbers) standing in
+    for the reference's spacy pipeline (ner/ner.py)."""
+
+    PATTERNS = {
+        "EMAIL": re.compile(r"[\w.+-]+@[\w-]+\.[\w.]+"),
+        "URL": re.compile(r"https?://\S+"),
+        "NUMBER": re.compile(r"\b\d+(?:\.\d+)?\b"),
+        "NAME": re.compile(r"\b(?:[A-Z][a-z]+ ){1,2}[A-Z][a-z]+\b"),
+    }
+
+    def extract(self, text: str) -> List[dict]:
+        out = []
+        for label, pat in self.PATTERNS.items():
+            for m in pat.finditer(text):
+                out.append({"text": m.group(), "label": label, "start": m.start()})
+        return sorted(out, key=lambda e: e["start"])
+
+
+class IntentDetector:
+    """LLM intent probe (reference: detector/intent_detection.py:24-38 —
+    10-token generation over the intent prompt)."""
+
+    def __init__(self, predict_fn):
+        self.predict_fn = predict_fn
+
+    def intent_detection(self, query: str) -> str:
+        from intel_extension_for_transformers_tpu.neural_chat.prompts import (
+            generate_intent_prompt,
+        )
+
+        out = self.predict_fn(generate_intent_prompt(query), max_new_tokens=10)
+        return "chitchat" if "chitchat" in out.lower() else "QA"
