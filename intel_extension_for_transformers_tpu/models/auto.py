@@ -1,0 +1,348 @@
+"""Auto-model API: one-call quantized model loading.
+
+TPU-native re-creation of the reference's model API
+(reference: transformers/modeling/modeling_auto.py:363
+`_BaseQBitsAutoModelClass.from_pretrained` — branch on quantization_config /
+load_in_4bit / load_in_8bit, convert, pack; :209 `save_low_bit`;
+:1312 `load_low_bit`; model.py:39 `OptimizedModel.from_pretrained`).
+
+Differences by design (TPU-first):
+- Models are functional param trees + pure apply fns, not module graphs; a
+  thin stateful wrapper (`TpuCausalLM` / `TpuEncoderModel`) carries
+  params+config+tokenizer and exposes generate()/encode().
+- HF torch checkpoints are converted ONCE on host (hf_convert) and torch
+  never touches the compute path.
+- `save_low_bit`/`load_low_bit` persist packed int4/int8/nf4/fp4 weights as
+  a self-contained npz + json dir — reloading never re-quantizes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from intel_extension_for_transformers_tpu.models.bert import (
+    BertConfig,
+    bert_encode,
+)
+from intel_extension_for_transformers_tpu.models.generation import (
+    SamplingConfig,
+    generate as _generate,
+    generate_stream as _generate_stream,
+)
+from intel_extension_for_transformers_tpu.models.llama import (
+    LlamaConfig,
+    init_kv_cache,
+    llama_apply,
+)
+from intel_extension_for_transformers_tpu.quantization.config import (
+    QuantizationConfigMixin,
+    RtnConfig,
+)
+from intel_extension_for_transformers_tpu.quantization.quantize import (
+    QuantizedParams,
+    quantize_model,
+)
+from intel_extension_for_transformers_tpu.quantization.save_load import (
+    load_low_bit as _load_low_bit,
+    save_low_bit as _save_low_bit,
+)
+
+MODEL_CONFIG_NAME = "tpu_model_config.json"
+
+# model_type → (config class, wrapper class name) filled in below
+_ENCODER_TYPES = {"bert", "roberta", "bge", "minilm"}
+_DECODER_TYPES = {"llama", "mistral", "qwen2"}  # llama-architecture family
+
+
+def _config_to_dict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+class _TpuModelBase:
+    """Shared persistence + sharding for wrapped models."""
+
+    model_type: str = ""
+
+    def __init__(self, params, config, tokenizer=None, quantization_config=None):
+        self.params = params
+        self.config = config
+        self.tokenizer = tokenizer
+        self.quantization_config = quantization_config
+
+    # -- persistence ------------------------------------------------------
+    def save_low_bit(self, save_dir: str) -> None:
+        """Persist packed weights + model config (reference:
+        modeling_auto.py:209)."""
+        qp = QuantizedParams(self.params, self.quantization_config, [])
+        _save_low_bit(qp, save_dir)
+        with open(os.path.join(save_dir, MODEL_CONFIG_NAME), "w") as f:
+            json.dump(
+                {
+                    "model_type": self.model_type,
+                    "config": _config_to_dict(self.config),
+                },
+                f,
+                indent=1,
+            )
+        if self.tokenizer is not None and hasattr(self.tokenizer, "save_pretrained"):
+            try:
+                self.tokenizer.save_pretrained(save_dir)
+            except Exception:  # tokenizer persistence is best-effort
+                pass
+
+    save_pretrained = save_low_bit
+
+    @classmethod
+    def _read_model_config(cls, save_dir: str) -> tuple[str, dict]:
+        with open(os.path.join(save_dir, MODEL_CONFIG_NAME)) as f:
+            d = json.load(f)
+        return d["model_type"], d["config"]
+
+
+class TpuCausalLM(_TpuModelBase):
+    """Llama-family causal LM: params tree + generate()."""
+
+    model_type = "llama"
+
+    # -- forward ----------------------------------------------------------
+    def __call__(self, input_ids, cache=None):
+        """→ (logits, cache). Fresh cache sized to the prompt if None."""
+        ids = jnp.asarray(input_ids)
+        if ids.ndim == 1:
+            ids = ids[None, :]
+        if cache is None:
+            cache = init_kv_cache(self.config, ids.shape[0], ids.shape[1])
+        return llama_apply(self.params, self.config, ids, cache)
+
+    # -- generation -------------------------------------------------------
+    def generate(self, input_ids, sampling: Optional[SamplingConfig] = None, **kw):
+        return _generate(self.params, self.config, input_ids, sampling, **kw)
+
+    def generate_stream(
+        self, input_ids, sampling: Optional[SamplingConfig] = None, **kw
+    ):
+        return _generate_stream(self.params, self.config, input_ids, sampling, **kw)
+
+
+class TpuEncoderModel(_TpuModelBase):
+    """BERT/BGE-family encoder: params tree + encode()."""
+
+    model_type = "bert"
+
+    def encode(
+        self,
+        input_ids,
+        attention_mask=None,
+        token_type_ids=None,
+        pooling: str = "cls",
+        normalize: bool = True,
+    ):
+        return bert_encode(
+            self.params,
+            self.config,
+            jnp.asarray(input_ids),
+            None if attention_mask is None else jnp.asarray(attention_mask),
+            None if token_type_ids is None else jnp.asarray(token_type_ids),
+            pooling=pooling,
+            normalize=normalize,
+        )
+
+    __call__ = encode
+
+
+def _is_low_bit_dir(path: str) -> bool:
+    return os.path.isdir(path) and os.path.exists(
+        os.path.join(path, MODEL_CONFIG_NAME)
+    )
+
+
+def _resolve_quant_config(
+    quantization_config, load_in_4bit: bool, load_in_8bit: bool
+) -> Optional[QuantizationConfigMixin]:
+    """Reference branch logic (modeling_auto.py:553-575): explicit config
+    wins; otherwise load_in_4bit→RTN int4, load_in_8bit→RTN int8."""
+    if quantization_config is not None:
+        return quantization_config
+    if load_in_4bit:
+        return RtnConfig(weight_dtype="int4", group_size=128)
+    if load_in_8bit:
+        return RtnConfig(weight_dtype="int8", group_size=128)
+    return None
+
+
+def _load_hf(model_name_or_path: str, cls: str, **hf_kwargs):
+    """Load a torch checkpoint on host CPU (load-time-only dependency)."""
+    import transformers as hf
+
+    loader = getattr(hf, cls)
+    return loader.from_pretrained(model_name_or_path, **hf_kwargs)
+
+
+def _load_tokenizer(model_name_or_path: str):
+    try:
+        import transformers as hf
+
+        return hf.AutoTokenizer.from_pretrained(model_name_or_path)
+    except Exception:
+        return None
+
+
+def _wrap_from_low_bit_dir(path: str):
+    model_type, cfg_dict = _TpuModelBase._read_model_config(path)
+    qp = _load_low_bit(path)
+    tokenizer = _load_tokenizer(path)
+    if model_type in _ENCODER_TYPES:
+        m = TpuEncoderModel(
+            qp.params, BertConfig(**cfg_dict), tokenizer, qp.config
+        )
+        m.model_type = model_type
+        return m
+    m = TpuCausalLM(qp.params, LlamaConfig(**cfg_dict), tokenizer, qp.config)
+    m.model_type = model_type
+    return m
+
+
+class AutoModelForCausalLM:
+    """Reference: transformers/__init__.py:43 `AutoModelForCausalLM` —
+    `from_pretrained(..., quantization_config=RtnConfig())` loads + quantizes
+    in one call; `load_low_bit` reloads packed weights."""
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        pretrained_model_name_or_path: str,
+        quantization_config: Optional[QuantizationConfigMixin] = None,
+        load_in_4bit: bool = False,
+        load_in_8bit: bool = False,
+        calib_inputs=None,
+        **hf_kwargs,
+    ) -> TpuCausalLM:
+        if _is_low_bit_dir(str(pretrained_model_name_or_path)):
+            model = _wrap_from_low_bit_dir(str(pretrained_model_name_or_path))
+            if not isinstance(model, TpuCausalLM):
+                raise ValueError(
+                    f"{pretrained_model_name_or_path} holds an encoder, "
+                    "use AutoModel"
+                )
+            return model
+        hf_model = _load_hf(
+            pretrained_model_name_or_path, "AutoModelForCausalLM", **hf_kwargs
+        )
+        tokenizer = _load_tokenizer(pretrained_model_name_or_path)
+        return cls.from_hf_model(
+            hf_model,
+            quantization_config=quantization_config,
+            load_in_4bit=load_in_4bit,
+            load_in_8bit=load_in_8bit,
+            tokenizer=tokenizer,
+            calib_inputs=calib_inputs,
+        )
+
+    @classmethod
+    def from_hf_model(
+        cls,
+        hf_model,
+        quantization_config=None,
+        load_in_4bit: bool = False,
+        load_in_8bit: bool = False,
+        tokenizer=None,
+        calib_inputs=None,
+    ) -> TpuCausalLM:
+        """Convert an already-instantiated HF torch model (used by tests —
+        tiny-model substitution, reference tests/CI/test_weight_only.py:75)."""
+        from intel_extension_for_transformers_tpu.models.hf_convert import (
+            llama_params_from_hf,
+        )
+
+        params, config = llama_params_from_hf(hf_model)
+        qcfg = _resolve_quant_config(quantization_config, load_in_4bit, load_in_8bit)
+        if qcfg is not None:
+            qp = quantize_model(params, qcfg, calib_inputs=calib_inputs)
+            return TpuCausalLM(qp.params, config, tokenizer, qp.config)
+        return TpuCausalLM(params, config, tokenizer, None)
+
+    @classmethod
+    def load_low_bit(cls, save_dir: str) -> TpuCausalLM:
+        model = _wrap_from_low_bit_dir(save_dir)
+        assert isinstance(model, TpuCausalLM)
+        return model
+
+
+class AutoModel:
+    """Encoder loader (reference: transformers/__init__.py:44 `AutoModel`)."""
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        pretrained_model_name_or_path: str,
+        quantization_config: Optional[QuantizationConfigMixin] = None,
+        load_in_4bit: bool = False,
+        load_in_8bit: bool = False,
+        **hf_kwargs,
+    ) -> TpuEncoderModel:
+        if _is_low_bit_dir(str(pretrained_model_name_or_path)):
+            model = _wrap_from_low_bit_dir(str(pretrained_model_name_or_path))
+            if not isinstance(model, TpuEncoderModel):
+                raise ValueError(
+                    f"{pretrained_model_name_or_path} holds a decoder, "
+                    "use AutoModelForCausalLM"
+                )
+            return model
+        hf_model = _load_hf(pretrained_model_name_or_path, "AutoModel", **hf_kwargs)
+        tokenizer = _load_tokenizer(pretrained_model_name_or_path)
+        return cls.from_hf_model(
+            hf_model,
+            quantization_config=quantization_config,
+            load_in_4bit=load_in_4bit,
+            load_in_8bit=load_in_8bit,
+            tokenizer=tokenizer,
+        )
+
+    @classmethod
+    def from_hf_model(
+        cls,
+        hf_model,
+        quantization_config=None,
+        load_in_4bit: bool = False,
+        load_in_8bit: bool = False,
+        tokenizer=None,
+        calib_inputs=None,
+    ) -> TpuEncoderModel:
+        from intel_extension_for_transformers_tpu.models.hf_convert import (
+            bert_params_from_hf,
+        )
+
+        params, config = bert_params_from_hf(hf_model)
+        qcfg = _resolve_quant_config(quantization_config, load_in_4bit, load_in_8bit)
+        if qcfg is not None:
+            qp = quantize_model(params, qcfg, calib_inputs=calib_inputs)
+            return TpuEncoderModel(qp.params, config, tokenizer, qp.config)
+        return TpuEncoderModel(params, config, tokenizer, None)
+
+    @classmethod
+    def load_low_bit(cls, save_dir: str) -> TpuEncoderModel:
+        model = _wrap_from_low_bit_dir(save_dir)
+        assert isinstance(model, TpuEncoderModel)
+        return model
+
+
+class OptimizedModel:
+    """Transparent reload of any saved optimized model
+    (reference: transformers/modeling/model.py:39)."""
+
+    @classmethod
+    def from_pretrained(cls, save_dir: str, **kw):
+        if not _is_low_bit_dir(str(save_dir)):
+            raise ValueError(
+                f"{save_dir} is not a saved optimized model "
+                f"(missing {MODEL_CONFIG_NAME})"
+            )
+        return _wrap_from_low_bit_dir(str(save_dir))

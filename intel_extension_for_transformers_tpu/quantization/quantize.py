@@ -20,6 +20,7 @@ Algorithm dispatch:
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import re
 from dataclasses import dataclass, field
@@ -138,7 +139,12 @@ def quantize_model(
             logger.info("skipping %s: K=%d incompatible with group_size=%d", p, K, gs)
             return leaf
         x_cal = calib_inputs.get(p) if calib_inputs else None
-        qt = _quantize_one(w, config, x_cal)
+        eff = (
+            config
+            if gs == config.group_size
+            else dataclasses.replace(config, group_size=gs)
+        )
+        qt = _quantize_one(w, eff, x_cal)
         quantized_paths.append(p)
         return qt
 
