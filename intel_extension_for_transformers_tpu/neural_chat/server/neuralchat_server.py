@@ -1,0 +1,405 @@
+"""OpenAI-compatible chat server on the Python standard library.
+
+Re-creation of the reference's serving layer
+(reference: neural_chat/server/neuralchat_server.py:91
+`NeuralChatServerExecutor` — YAML → build_chatbot → uvicorn;
+restful/textchat_api.py:482 `/v1/chat/completions`, :603 `/v1/completions`,
+:464 `/v1/models`, :477 `/health`; SSE generators :219-321).
+
+TPU-native design notes:
+- No FastAPI/uvicorn in this environment → a ThreadingHTTPServer with a
+  small router. SSE streaming is chunked `text/event-stream` writes fed by
+  the jitted decode loop's token iterator — each token crosses the
+  host↔device boundary once (one scalar readback), the model stays resident
+  in HBM across requests.
+- Generation is serialized through a lock: one decode program instance owns
+  the chip; concurrent HTTP readers (models/health) stay lock-free.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from intel_extension_for_transformers_tpu.neural_chat.config import (
+    GenerationConfig,
+    LoadingModelConfig,
+    PipelineConfig,
+)
+from intel_extension_for_transformers_tpu.neural_chat.server.openai_protocol import (
+    ChatCompletionChoice,
+    ChatCompletionChunk,
+    ChatCompletionChunkChoice,
+    ChatCompletionRequest,
+    ChatCompletionResponse,
+    ChatMessage,
+    CompletionChoice,
+    CompletionRequest,
+    CompletionResponse,
+    DeltaMessage,
+    ErrorResponse,
+    ModelCard,
+    ModelList,
+    UsageInfo,
+    asdict_clean,
+)
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_API_LIST = ["textchat", "completion", "models", "health"]
+
+
+def _merge_generation_config(
+    base: GenerationConfig, req
+) -> GenerationConfig:
+    """Overlay per-request OpenAI sampling params on the server defaults."""
+    import dataclasses
+
+    kw = {}
+    if req.max_tokens is not None:
+        kw["max_new_tokens"] = int(req.max_tokens)
+    if req.temperature is not None:
+        kw["temperature"] = float(req.temperature)
+        kw["do_sample"] = req.temperature > 0
+    if req.top_p is not None:
+        kw["top_p"] = float(req.top_p)
+    if req.top_k is not None:
+        kw["top_k"] = int(req.top_k)
+    if req.repetition_penalty is not None:
+        kw["repetition_penalty"] = float(req.repetition_penalty)
+    if req.seed is not None:
+        kw["seed"] = int(req.seed)
+    return dataclasses.replace(base, **kw)
+
+
+def _messages_to_query(messages) -> str:
+    """Render an OpenAI message list into the chatbot query. The last user
+    message is the query; prior turns are prepended as a transcript
+    (reference renders history into the conv template the same way,
+    textchat_api.py:399-430)."""
+    if not messages:
+        return ""
+    history = messages[:-1]
+    query = messages[-1].content
+    if not history:
+        return query
+    lines = [f"{m.role}: {m.content}" for m in history]
+    return "\n".join(lines) + f"\nuser: {query}"
+
+
+class ChatApp:
+    """Routes + handlers bound to one chatbot instance."""
+
+    def __init__(self, chatbot, model_name: str, api_list=None):
+        self.chatbot = chatbot
+        self.model_name = model_name
+        self.api_list = list(api_list or DEFAULT_API_LIST)
+        self._gen_lock = threading.Lock()
+
+    # ---------------------------------------------------------- helpers
+    def _count_tokens(self, text: str) -> int:
+        tok = getattr(self.chatbot, "tokenizer", None)
+        if tok is not None and hasattr(tok, "encode"):
+            try:
+                ids = tok.encode(text)
+                return len(ids.ids if hasattr(ids, "ids") else ids)
+            except Exception:
+                pass
+        return max(1, len(text.split()))
+
+    # ---------------------------------------------------------- handlers
+    def handle_models(self):
+        return 200, asdict_clean(ModelList(data=[ModelCard(id=self.model_name)]))
+
+    def handle_health(self):
+        # reference: textchat_api.py:477 — plain 200 liveness probe
+        return 200, {"status": "healthy"}
+
+    def handle_chat_completion(self, body: dict):
+        req = ChatCompletionRequest.from_dict(body)
+        if not req.messages:
+            return 400, ErrorResponse("messages must be non-empty").to_body()
+        cfg = _merge_generation_config(self.chatbot.generation_config, req)
+        query = _messages_to_query(req.messages)
+        if req.stream:
+            return 200, self._chat_stream(query, cfg)
+        with self._gen_lock:
+            text = self.chatbot.predict(query, cfg)
+        usage = UsageInfo(
+            prompt_tokens=self._count_tokens(query),
+            completion_tokens=self._count_tokens(text),
+        )
+        usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+        resp = ChatCompletionResponse(
+            model=self.model_name,
+            choices=[
+                ChatCompletionChoice(index=0, message=ChatMessage("assistant", text))
+            ],
+            usage=usage,
+        )
+        return 200, asdict_clean(resp)
+
+    def _chat_stream(self, query: str, cfg: GenerationConfig):
+        """→ generator of SSE event strings (reference:
+        chat_completion_stream_generator textchat_api.py:219)."""
+        chunk_id = ChatCompletionChunk(model=self.model_name).id
+
+        def events():
+            first = ChatCompletionChunk(
+                id=chunk_id,
+                model=self.model_name,
+                choices=[
+                    ChatCompletionChunkChoice(
+                        index=0, delta=DeltaMessage(role="assistant")
+                    )
+                ],
+            )
+            yield f"data: {json.dumps(asdict_clean(first))}\n\n"
+            with self._gen_lock:
+                for delta in self.chatbot.predict_stream(query, cfg):
+                    chunk = ChatCompletionChunk(
+                        id=chunk_id,
+                        model=self.model_name,
+                        choices=[
+                            ChatCompletionChunkChoice(
+                                index=0, delta=DeltaMessage(content=delta)
+                            )
+                        ],
+                    )
+                    yield f"data: {json.dumps(asdict_clean(chunk))}\n\n"
+            last = ChatCompletionChunk(
+                id=chunk_id,
+                model=self.model_name,
+                choices=[
+                    ChatCompletionChunkChoice(
+                        index=0, delta=DeltaMessage(), finish_reason="stop"
+                    )
+                ],
+            )
+            yield f"data: {json.dumps(asdict_clean(last))}\n\n"
+            yield "data: [DONE]\n\n"
+
+        return events()
+
+    def handle_completion(self, body: dict):
+        req = CompletionRequest.from_dict(body)
+        prompts = req.prompt if isinstance(req.prompt, list) else [req.prompt]
+        cfg = _merge_generation_config(self.chatbot.generation_config, req)
+        if req.stream:
+            if len(prompts) != 1:
+                return 400, ErrorResponse("stream needs exactly 1 prompt").to_body()
+            return 200, self._completion_stream(prompts[0], cfg)
+        choices, usage = [], UsageInfo()
+        for i, p in enumerate(prompts):
+            with self._gen_lock:
+                text = self.chatbot.predict(p, cfg)
+            choices.append(CompletionChoice(index=i, text=text))
+            usage.prompt_tokens += self._count_tokens(p)
+            usage.completion_tokens += self._count_tokens(text)
+        usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+        resp = CompletionResponse(model=self.model_name, choices=choices, usage=usage)
+        return 200, asdict_clean(resp)
+
+    def _completion_stream(self, prompt: str, cfg: GenerationConfig):
+        resp_id = CompletionResponse(model=self.model_name).id
+
+        def events():
+            with self._gen_lock:
+                for delta in self.chatbot.predict_stream(prompt, cfg):
+                    chunk = CompletionResponse(
+                        id=resp_id,
+                        model=self.model_name,
+                        choices=[
+                            CompletionChoice(index=0, text=delta, finish_reason=None)
+                        ],
+                    )
+                    yield f"data: {json.dumps(asdict_clean(chunk))}\n\n"
+            yield "data: [DONE]\n\n"
+
+        return events()
+
+    # ---------------------------------------------------------- routing
+    def route(self, method: str, path: str, body: Optional[dict]):
+        """→ (status, payload). payload is a dict (JSON) or a generator
+        (SSE stream)."""
+        if method == "GET" and path == "/health":
+            return self.handle_health()
+        if method == "GET" and path == "/v1/models" and "models" in self.api_list:
+            return self.handle_models()
+        if (
+            method == "POST"
+            and path == "/v1/chat/completions"
+            and "textchat" in self.api_list
+        ):
+            return self.handle_chat_completion(body or {})
+        if (
+            method == "POST"
+            and path == "/v1/completions"
+            and "completion" in self.api_list
+        ):
+            return self.handle_completion(body or {})
+        return 404, ErrorResponse(f"no route {method} {path}", code=404).to_body()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    app: ChatApp = None  # set by make_server
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # route through logging, not stderr
+        logger.info("%s - %s", self.address_string(), fmt % args)
+
+    def _send_json(self, status: int, payload: dict) -> None:
+        data = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _send_sse(self, events) -> None:
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        try:
+            for ev in events:
+                data = ev.encode()
+                self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+                self.wfile.flush()
+            self.wfile.write(b"0\r\n\r\n")
+        except (BrokenPipeError, ConnectionResetError):
+            logger.info("client disconnected mid-stream")
+
+    def _dispatch(self, method: str) -> None:
+        body = None
+        if method == "POST":
+            try:
+                n = int(self.headers.get("Content-Length") or 0)
+                body = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError):
+                self._send_json(400, ErrorResponse("invalid JSON body").to_body())
+                return
+        try:
+            status, payload = self.app.route(method, self.path, body)
+        except Exception as e:  # request-level failure, keep serving
+            logger.exception("handler error")
+            self._send_json(
+                500, ErrorResponse(str(e), type="internal_error", code=500).to_body()
+            )
+            return
+        if isinstance(payload, dict):
+            self._send_json(status, payload)
+        else:
+            self._send_sse(payload)
+
+    def do_GET(self):
+        self._dispatch("GET")
+
+    def do_POST(self):
+        self._dispatch("POST")
+
+
+def make_server(app: ChatApp, host: str = "0.0.0.0", port: int = 8000):
+    handler = type("BoundHandler", (_Handler,), {"app": app})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+class NeuralChatServerExecutor:
+    """YAML config → chatbot → HTTP server
+    (reference: neuralchat_server.py:91; config template
+    server/config/neuralchat.yaml)."""
+
+    def __init__(self):
+        self.chatbot = None
+        self.app: Optional[ChatApp] = None
+        self.server = None
+        self.host = "0.0.0.0"
+        self.port = 8000
+
+    def init(self, config) -> bool:
+        """config: dict or path to YAML. Returns False on failure (error code
+        retrievable via utils.error_utils.get_latest_error)."""
+        if isinstance(config, str):
+            import yaml
+
+            with open(config) as f:
+                config = yaml.safe_load(f)
+        self.host = config.get("host", "0.0.0.0")
+        self.port = int(config.get("port", 8000))
+        api_list = (config.get("tasks_list") or DEFAULT_API_LIST)
+
+        pipeline = self._pipeline_config_from(config)
+        from intel_extension_for_transformers_tpu.neural_chat.chatbot import (
+            build_chatbot,
+        )
+
+        self.chatbot = config.get("_prebuilt_chatbot") or build_chatbot(pipeline)
+        if self.chatbot is None:
+            return False
+        self.app = ChatApp(
+            self.chatbot, pipeline.model_name_or_path, api_list=api_list
+        )
+        return True
+
+    @staticmethod
+    def _pipeline_config_from(config: dict) -> PipelineConfig:
+        loading = LoadingModelConfig(**(config.get("loading_config") or {}))
+        gen = GenerationConfig(**(config.get("generation_config") or {}))
+        plugins = {}
+        for name, args in (config.get("plugins") or {}).items():
+            if isinstance(args, dict) and args.get("enable", True):
+                plugins[name] = {
+                    k: v for k, v in args.items() if k != "enable"
+                } | {"enable": True}
+        return PipelineConfig(
+            model_name_or_path=config.get(
+                "model_name_or_path", "meta-llama/Llama-2-7b-chat-hf"
+            ),
+            device=config.get("device", "tpu"),
+            loading_config=loading,
+            generation_config=gen,
+            plugins=plugins,
+        )
+
+    def __call__(self, config_file: str) -> None:
+        if not self.init(config_file):
+            raise RuntimeError("server init failed (see latest error code)")
+        self.run()
+
+    def run(self, block: bool = True):
+        assert self.app is not None, "call init() first"
+        self.server = make_server(self.app, self.host, self.port)
+        self.port = self.server.server_address[1]  # resolve port=0
+        logger.info("serving on %s:%d", self.host, self.port)
+        if block:
+            self.server.serve_forever()
+        else:
+            t = threading.Thread(target=self.server.serve_forever, daemon=True)
+            t.start()
+            return t
+
+    def stop(self):
+        if self.server is not None:
+            self.server.shutdown()
+            self.server.server_close()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("neuralchat_server")
+    p.add_argument("--config_file", required=True)
+    p.add_argument("--log_file", default=None)
+    args = p.parse_args(argv)
+    if args.log_file:
+        logging.basicConfig(filename=args.log_file, level=logging.INFO)
+    else:
+        logging.basicConfig(level=logging.INFO)
+    NeuralChatServerExecutor()(args.config_file)
+
+
+if __name__ == "__main__":
+    main()
