@@ -120,6 +120,6 @@ def optimize_model(params, optimization_config):
 
 def finetune_model(finetune_config) -> None:
     """(reference: chatbot.py:316 finetune_model)"""
-    from intel_extension_for_transformers_tpu.trainer.finetune import finetune
+    from intel_extension_for_transformers_tpu.trainer.finetuning import Finetuning
 
-    return finetune(finetune_config)
+    return Finetuning(finetune_config).finetune()

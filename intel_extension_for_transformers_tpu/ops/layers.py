@@ -21,12 +21,44 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from dataclasses import dataclass
+
 from intel_extension_for_transformers_tpu.ops.packing import QuantizedTensor
 from intel_extension_for_transformers_tpu.ops.quant_matmul import woq_linear
 
 
+@dataclass
+class LoraKernel:
+    """Frozen base weight + trainable low-rank update W + s·(A@B).
+
+    The functional analogue of the reference's QuantizedLoraLinearQBits
+    (llm/quantization/nn/modules.py:395): base may be float or a packed
+    QuantizedTensor (QLoRA). Gradients reach only `a`/`b` when the train
+    loop differentiates w.r.t. the adapter tree."""
+
+    base: object  # jax.Array (K, N) or QuantizedTensor
+    a: jax.Array  # (K, r)
+    b: jax.Array  # (r, N)
+    scaling: float = 1.0
+
+
+jax.tree_util.register_dataclass(
+    LoraKernel, data_fields=["base", "a", "b"], meta_fields=["scaling"]
+)
+
+
 def dense(x: jax.Array, kernel, bias: Optional[jax.Array] = None) -> jax.Array:
-    """x (..., K) @ kernel (K, N) + bias; kernel may be a QuantizedTensor."""
+    """x (..., K) @ kernel (K, N) + bias; kernel may be a QuantizedTensor
+    or a LoraKernel (low-rank adapter over a frozen base)."""
+    if isinstance(kernel, LoraKernel):
+        y = dense(x, kernel.base, bias)
+        # adapter path in f32: rank is tiny, cost is negligible, and QLoRA
+        # numerics want the update un-rounded (reference: MatMulKBit +
+        # QuantizedLoraLinearQBits, llm/quantization/nn/modules.py:395)
+        xa = jnp.einsum("...k,kr->...r", x.astype(jnp.float32), kernel.a)
+        return y + (kernel.scaling * jnp.einsum(
+            "...r,rn->...n", xa, kernel.b
+        )).astype(y.dtype)
     if isinstance(kernel, QuantizedTensor):
         return woq_linear(x, kernel, bias=bias)
     y = jnp.einsum(

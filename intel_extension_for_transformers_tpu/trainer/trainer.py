@@ -1,0 +1,422 @@
+"""NLPTrainer: compression-aware training on a device mesh.
+
+Re-creation of the reference's trainer surface
+(reference: transformers/trainer.py — `quantize` :281, `prune` :333,
+`distill` :362, `orchestrate_optimizations` :397, overridden `train` :428,
+`benchmark` :1896; `NLPTrainer` :2033) designed TPU-first:
+
+- one jitted train step (loss → grad → optax update) with donated state;
+  batches sharded over the mesh "dp" axis, params replicated — the DDP/ccl
+  analogue is a psum XLA inserts from the sharding, not a framework layer.
+- compression is a *loss/params transform*, not a callback web: QAT wraps the
+  forward in straight-through fake-quant; pruning applies magnitude masks to
+  the same jitted step; distillation adds a KL term against a frozen teacher
+  computed in the same program.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Iterable, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from intel_extension_for_transformers_tpu.quantization.config import (
+    QuantAwareTrainingConfig,
+    QuantizationConfigMixin,
+)
+from intel_extension_for_transformers_tpu.trainer.configs import (
+    DistillationConfig,
+    PruningConfig,
+    TrainingArguments,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class TrainOutput:
+    params: Any
+    global_step: int
+    training_loss: float
+    log_history: list
+
+
+def causal_lm_loss(logits: jax.Array, input_ids: jax.Array, mask=None) -> jax.Array:
+    """Shifted next-token cross-entropy in f32; mask (B,T) 1=count."""
+    logits = logits[:, :-1].astype(jnp.float32)
+    targets = input_ids[:, 1:]
+    ll = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(ll, targets[..., None], axis=-1)[..., 0]
+    if mask is not None:
+        m = mask[:, 1:].astype(jnp.float32)
+        return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return jnp.mean(nll)
+
+
+def _batch_iterator(dataset, batch_size: int, epochs: int, max_steps: int, seed: int):
+    """dataset: list/sequence of dicts of (T,) arrays, or an iterable of
+    ready batches (dicts of (B,T) arrays). Yields batches."""
+    first = dataset[0] if hasattr(dataset, "__getitem__") else None
+    if first is not None and np.asarray(first["input_ids"]).ndim == 1:
+        n = len(dataset)
+        rng = np.random.default_rng(seed)
+        step = 0
+        for _ in range(max(1, epochs if max_steps <= 0 else 10**9)):
+            order = rng.permutation(n)
+            for i in range(0, n - batch_size + 1, batch_size):
+                idx = order[i : i + batch_size]
+                keys = dataset[0].keys()
+                yield {
+                    k: np.stack([np.asarray(dataset[j][k]) for j in idx]) for k in keys
+                }
+                step += 1
+                if max_steps > 0 and step >= max_steps:
+                    return
+    else:
+        step = 0
+        for _ in range(max(1, epochs if max_steps <= 0 else 10**9)):
+            for b in dataset:
+                yield b
+                step += 1
+                if max_steps > 0 and step >= max_steps:
+                    return
+            if not hasattr(dataset, "__getitem__"):
+                return  # one-shot iterable
+
+
+class NLPTrainer:
+    """Functional trainer: owns (params, optimizer state), steps are pure.
+
+    apply_fn(params, input_ids, attention_mask) → logits. Defaults to the
+    Llama forward when model_config is a LlamaConfig.
+    """
+
+    def __init__(
+        self,
+        params: Any,
+        model_config: Any = None,
+        apply_fn: Optional[Callable] = None,
+        args: Optional[TrainingArguments] = None,
+        train_dataset=None,
+        eval_dataset=None,
+        trainable_filter: Optional[Callable[[Any], Any]] = None,
+        mesh=None,
+    ):
+        self.params = params
+        self.model_config = model_config
+        self.args = args or TrainingArguments()
+        self.train_dataset = train_dataset
+        self.eval_dataset = eval_dataset
+        self.mesh = mesh
+        self.log_history: list = []
+
+        if apply_fn is None:
+            from intel_extension_for_transformers_tpu.models.llama import llama_apply
+
+            def apply_fn(p, ids, mask=None):
+                logits, _ = llama_apply(p, self.model_config, ids, None, mask)
+                return logits
+
+        self.apply_fn = apply_fn
+
+    # ------------------------------------------------------------- core
+    def _optimizer(self):
+        a = self.args
+        if a.warmup_steps > 0:
+            lr = optax.linear_schedule(0.0, a.learning_rate, a.warmup_steps)
+        else:
+            lr = a.learning_rate
+        tx = optax.chain(
+            optax.clip_by_global_norm(a.max_grad_norm),
+            optax.adamw(lr, weight_decay=a.weight_decay),
+        )
+        if a.gradient_accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, a.gradient_accumulation_steps)
+        return tx
+
+    def _shard_batch(self, batch: dict) -> dict:
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P("dp", None))
+        return {k: jax.device_put(jnp.asarray(v), sh) for k, v in batch.items()}
+
+    def _make_step(self, loss_fn):
+        tx = self._optimizer()
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(trainable, opt_state, batch):
+            loss, grads = jax.value_and_grad(loss_fn)(trainable, batch)
+            updates, opt_state = tx.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return trainable, opt_state, loss
+
+        return tx, step
+
+    def _run(self, loss_fn, trainable, hook=None) -> tuple[Any, float]:
+        """Generic loop: returns (trained trainable-tree, last loss)."""
+        a = self.args
+        tx, step = self._make_step(loss_fn)
+        # the step donates its inputs (in-place buffer reuse on device);
+        # copy once so the CALLER's arrays are never invalidated
+        trainable = jax.tree.map(jnp.copy, trainable)
+        opt_state = tx.init(trainable)
+        it = _batch_iterator(
+            self.train_dataset,
+            a.per_device_train_batch_size,
+            a.num_train_epochs,
+            a.max_steps,
+            a.seed,
+        )
+        t0 = time.time()
+        loss_val, gstep = float("nan"), 0
+        for batch in it:
+            batch = self._shard_batch(batch)
+            trainable, opt_state, loss = step(trainable, opt_state, batch)
+            gstep += 1
+            if hook is not None:
+                trainable = hook(gstep, trainable)
+            if gstep % a.logging_steps == 0 or gstep == 1:
+                loss_val = float(loss)
+                rec = {"step": gstep, "loss": loss_val, "time": time.time() - t0}
+                self.log_history.append(rec)
+                logger.info("step %d loss %.4f", gstep, loss_val)
+        if math.isnan(loss_val):
+            loss_val = float(loss) if gstep else float("nan")
+        return trainable, loss_val, gstep
+
+    # ------------------------------------------------------------ train
+    def train(self) -> TrainOutput:
+        """Full-parameter causal-LM training (reference: trainer.py:428)."""
+
+        def loss_fn(params, batch):
+            logits = self.apply_fn(
+                params, batch["input_ids"], batch.get("attention_mask")
+            )
+            return causal_lm_loss(
+                logits, batch["input_ids"], batch.get("attention_mask")
+            )
+
+        params, loss, steps = self._run(loss_fn, self.params)
+        self.params = params
+        return TrainOutput(params, steps, loss, self.log_history)
+
+    # ----------------------------------------------------------- evaluate
+    def evaluate(self, dataset=None) -> dict:
+        dataset = dataset if dataset is not None else self.eval_dataset
+        a = self.args
+
+        @jax.jit
+        def eval_loss(params, batch):
+            logits = self.apply_fn(
+                params, batch["input_ids"], batch.get("attention_mask")
+            )
+            return causal_lm_loss(
+                logits, batch["input_ids"], batch.get("attention_mask")
+            )
+
+        losses = []
+        for batch in _batch_iterator(
+            dataset, a.per_device_train_batch_size, 1, -1, a.seed
+        ):
+            losses.append(float(eval_loss(self.params, self._shard_batch(batch))))
+        mean = float(np.mean(losses)) if losses else float("nan")
+        return {"eval_loss": mean, "perplexity": float(np.exp(min(mean, 30.0)))}
+
+    # ----------------------------------------------------------- quantize
+    def quantize(self, quant_config: QuantizationConfigMixin, calib_inputs=None):
+        """PTQ directly, or QAT (straight-through fake quant during training,
+        then real quantization) for QuantAwareTrainingConfig
+        (reference: trainer.py:281 `quantize`, `_inc_quantize` :251)."""
+        from intel_extension_for_transformers_tpu.quantization import quantize_model
+        from intel_extension_for_transformers_tpu.quantization.quantize import (
+            default_is_quantizable,
+            fake_quant,
+        )
+
+        if isinstance(quant_config, QuantAwareTrainingConfig):
+            bits = 4 if "4" in quant_config.weight_dtype else 8
+            gs = quant_config.group_size
+
+            def qat_transform(params):
+                def fq(path, leaf):
+                    p = "/".join(str(getattr(x, "key", getattr(x, "idx", x)))
+                                 for x in path)
+                    if default_is_quantizable(p, leaf):
+                        return fake_quant(leaf, bits=bits, group_size=gs)
+                    return leaf
+
+                return jax.tree_util.tree_map_with_path(fq, params)
+
+            def loss_fn(params, batch):
+                logits = self.apply_fn(
+                    qat_transform(params),
+                    batch["input_ids"],
+                    batch.get("attention_mask"),
+                )
+                return causal_lm_loss(
+                    logits, batch["input_ids"], batch.get("attention_mask")
+                )
+
+            params, _, _ = self._run(loss_fn, self.params)
+            self.params = params
+        return quantize_model(self.params, quant_config, calib_inputs=calib_inputs)
+
+    # -------------------------------------------------------------- prune
+    def prune(self, pruning_config: Optional[PruningConfig] = None) -> TrainOutput:
+        """Magnitude pruning with cubic schedule; masks re-applied after each
+        step so pruned weights stay zero (reference: trainer.py:333)."""
+        cfg = pruning_config or PruningConfig()
+        a = self.args
+        total = a.max_steps if a.max_steps > 0 else 1000
+        end = cfg.end_step if cfg.end_step > 0 else total
+
+        def sparsity_at(step: int) -> float:
+            if step <= cfg.start_step:
+                return 0.0
+            if step >= end:
+                return cfg.target_sparsity
+            frac = (step - cfg.start_step) / max(1, end - cfg.start_step)
+            return cfg.target_sparsity * (1 - (1 - frac) ** 3)
+
+        def prunable(path: str, leaf) -> bool:
+            if any(x in path for x in cfg.excluded_names):
+                return False
+            return (
+                hasattr(leaf, "ndim")
+                and leaf.ndim == 2
+                and "embed" not in path
+                and "kernel" in path
+            )
+
+        from intel_extension_for_transformers_tpu.quantization.quantize import (
+            _path_str,
+        )
+
+        @partial(jax.jit, static_argnums=())
+        def apply_masks(params, sparsity):
+            def mask(path, leaf):
+                if not prunable(_path_str(path), leaf):
+                    return leaf
+                flat = jnp.abs(leaf).ravel()
+                k = (sparsity * flat.size).astype(jnp.int32)
+                thresh = jnp.where(
+                    k > 0, jnp.sort(flat)[jnp.clip(k - 1, 0, flat.size - 1)], -1.0
+                )
+                return jnp.where(jnp.abs(leaf) > thresh, leaf, 0.0)
+
+            return jax.tree_util.tree_map_with_path(mask, params)
+
+        def loss_fn(params, batch):
+            logits = self.apply_fn(
+                params, batch["input_ids"], batch.get("attention_mask")
+            )
+            return causal_lm_loss(
+                logits, batch["input_ids"], batch.get("attention_mask")
+            )
+
+        def hook(step, params):
+            if step % cfg.update_frequency:
+                return params
+            return apply_masks(params, jnp.float32(sparsity_at(step)))
+
+        params, loss, steps = self._run(loss_fn, self.params, hook=hook)
+        self.params = apply_masks(params, jnp.float32(cfg.target_sparsity))
+        return TrainOutput(self.params, steps, loss, self.log_history)
+
+    # ------------------------------------------------------------ distill
+    def distill(
+        self,
+        distillation_config: Optional[DistillationConfig] = None,
+        teacher_params: Any = None,
+        teacher_apply_fn: Optional[Callable] = None,
+    ) -> TrainOutput:
+        """Knowledge distillation (reference: trainer.py:362): loss =
+        α·CE(hard) + (1-α)·T²·KL(student‖teacher)."""
+        cfg = distillation_config or DistillationConfig()
+        assert teacher_params is not None, "distill needs teacher_params"
+        teacher_fn = teacher_apply_fn or self.apply_fn
+        T = cfg.temperature
+
+        def loss_fn(params, batch):
+            ids, mask = batch["input_ids"], batch.get("attention_mask")
+            s_logits = self.apply_fn(params, ids, mask).astype(jnp.float32)
+            t_logits = jax.lax.stop_gradient(
+                teacher_fn(teacher_params, ids, mask)
+            ).astype(jnp.float32)
+            ce = causal_lm_loss(s_logits, ids, mask)
+            sp = jax.nn.log_softmax(s_logits[:, :-1] / T, axis=-1)
+            tp = jax.nn.softmax(t_logits[:, :-1] / T, axis=-1)
+            kl = jnp.sum(tp * (jnp.log(jnp.maximum(tp, 1e-9)) - sp), axis=-1)
+            if mask is not None:
+                m = mask[:, 1:].astype(jnp.float32)
+                kl = jnp.sum(kl * m) / jnp.maximum(jnp.sum(m), 1.0)
+            else:
+                kl = jnp.mean(kl)
+            return cfg.alpha_ce * ce + (1 - cfg.alpha_ce) * (T * T) * kl
+
+        params, loss, steps = self._run(loss_fn, self.params)
+        self.params = params
+        return TrainOutput(params, steps, loss, self.log_history)
+
+    # ------------------------------------------------- orchestrate (combo)
+    def orchestrate_optimizations(
+        self,
+        pruning_config: Optional[PruningConfig] = None,
+        distillation_config: Optional[DistillationConfig] = None,
+        teacher_params: Any = None,
+        quant_config: Optional[QuantizationConfigMixin] = None,
+    ):
+        """Prune-while-distilling, then quantize (reference: trainer.py:397
+        `orchestrate_optimizations` — INC prepare_compression combo)."""
+        if distillation_config is not None and teacher_params is not None:
+            self.distill(distillation_config, teacher_params)
+        if pruning_config is not None:
+            self.prune(pruning_config)
+        if quant_config is not None:
+            return self.quantize(quant_config)
+        return self.params
+
+    # ----------------------------------------------------------- benchmark
+    def benchmark(self, batch: Optional[dict] = None, iters: int = 10) -> dict:
+        """Latency/throughput probe (reference: trainer.py:1896 + P23
+        benchmark.py): times the jitted forward on a representative batch."""
+        if batch is None:
+            ds = self.train_dataset or self.eval_dataset
+            it = _batch_iterator(ds, self.args.per_device_train_batch_size, 1, 1,
+                                 self.args.seed)
+            batch = next(it)
+        batch = self._shard_batch(batch)
+
+        @jax.jit
+        def fwd(params, ids, mask):
+            return self.apply_fn(params, ids, mask)
+
+        ids, mask = batch["input_ids"], batch.get("attention_mask")
+        fwd(self.params, ids, mask).block_until_ready()  # compile
+        t0 = time.time()
+        for _ in range(iters):
+            out = fwd(self.params, ids, mask)
+        out.block_until_ready()
+        dt = (time.time() - t0) / iters
+        B, T = np.asarray(ids).shape
+        return {
+            "latency_ms": dt * 1e3,
+            "throughput_samples_per_s": B / dt,
+            "throughput_tokens_per_s": B * T / dt,
+        }
+
+
+class NLPSeq2SeqTrainer(NLPTrainer):
+    """Parity alias (reference: trainer.py:2040) — same functional loop;
+    seq2seq models supply their own apply_fn/loss via construction."""
