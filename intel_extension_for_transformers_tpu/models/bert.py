@@ -241,6 +241,10 @@ def bert_encode(
     return emb
 
 
+# eager (un-jitted) forward for calibration taps (models/calibration.py)
+bert_apply_eager = bert_apply.__wrapped__
+
+
 def bert_config_from_hf(hf_config) -> BertConfig:
     """Build from a transformers BertConfig-like object."""
     return BertConfig(

@@ -279,3 +279,8 @@ def llama_apply(
     if cache is not None:
         new_cache = KVCache(k=new_k, v=new_v, length=cache.length + T)
     return logits, new_cache
+
+
+# eager (un-jitted) forward: needed by calibration taps
+# (models/calibration.py TapKernel records Python-side during the trace-free run)
+llama_apply_eager = llama_apply.__wrapped__

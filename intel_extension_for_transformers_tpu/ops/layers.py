@@ -61,6 +61,15 @@ def dense(x: jax.Array, kernel, bias: Optional[jax.Array] = None) -> jax.Array:
         )).astype(y.dtype)
     if isinstance(kernel, QuantizedTensor):
         return woq_linear(x, kernel, bias=bias)
+    if type(kernel).__name__ == "W8A8Tensor":  # lazy to avoid import cycle
+        from intel_extension_for_transformers_tpu.quantization.smoothquant import (
+            sq_linear,
+        )
+
+        return sq_linear(x, kernel, bias=bias)
+    if hasattr(kernel, "record") and hasattr(kernel, "base"):  # calibration tap
+        kernel.record(x)
+        return dense(x, kernel.base, bias)
     y = jnp.einsum(
         "...k,kn->...n", x, kernel.astype(x.dtype), preferred_element_type=x.dtype
     )

@@ -21,6 +21,13 @@ from intel_extension_for_transformers_tpu.quantization.save_load import (
     save_low_bit,
     load_low_bit,
 )
+from intel_extension_for_transformers_tpu.quantization.smoothquant import (
+    W8A8Tensor,
+    dequantize_w8a8,
+    quantize_w8a8,
+    sq_linear,
+    sq_linear_ref,
+)
 
 __all__ = [
     "QuantizationConfigMixin",
@@ -40,4 +47,9 @@ __all__ = [
     "QuantizedParams",
     "save_low_bit",
     "load_low_bit",
+    "W8A8Tensor",
+    "dequantize_w8a8",
+    "quantize_w8a8",
+    "sq_linear",
+    "sq_linear_ref",
 ]

@@ -37,10 +37,13 @@ from intel_extension_for_transformers_tpu.ops.packing import (
 from intel_extension_for_transformers_tpu.quantization.config import (
     AwqConfig,
     AutoRoundConfig,
+    DynamicQuantConfig,
     GPTQConfig,
     MixedPrecisionConfig,
     QuantizationConfigMixin,
     RtnConfig,
+    SmoothQuantConfig,
+    StaticQuantConfig,
     TeqConfig,
 )
 
@@ -86,7 +89,11 @@ class QuantizedParams:
 
 
 def _is_qt(x):
-    return isinstance(x, QuantizedTensor)
+    from intel_extension_for_transformers_tpu.quantization.smoothquant import (
+        W8A8Tensor,
+    )
+
+    return isinstance(x, (QuantizedTensor, W8A8Tensor))
 
 
 def quantize_model(
@@ -114,10 +121,14 @@ def quantize_model(
 
     is_quantizable = is_quantizable or default_is_quantizable
     skip = tuple(config.modules_to_not_convert or [])
-    needs_calib = isinstance(config, (GPTQConfig, AwqConfig, TeqConfig))
+    needs_calib = isinstance(
+        config,
+        (GPTQConfig, AwqConfig, TeqConfig, SmoothQuantConfig, StaticQuantConfig),
+    )
     if needs_calib and not calib_inputs:
         logger.warning(
-            "%s requires calibration activations; falling back to RTN numerics",
+            "%s requires calibration activations (models.calibration."
+            "collect_linear_inputs); falling back to calibration-free numerics",
             type(config).__name__,
         )
 
@@ -128,6 +139,23 @@ def quantize_model(
         if any(s in p for s in skip) or not is_quantizable(p, leaf):
             return leaf
         w = leaf.astype(jnp.float32)
+        if isinstance(
+            config, (SmoothQuantConfig, StaticQuantConfig, DynamicQuantConfig)
+        ):
+            from intel_extension_for_transformers_tpu.quantization.smoothquant import (
+                quantize_w8a8,
+            )
+
+            x_cal = calib_inputs.get(p) if calib_inputs else None
+            alpha = config.alpha if isinstance(config, SmoothQuantConfig) else None
+            static_act = (
+                isinstance(config, (SmoothQuantConfig, StaticQuantConfig))
+                and x_cal is not None
+            )
+            quantized_paths.append(p)
+            return quantize_w8a8(
+                w, x_cal, alpha if x_cal is not None else None, static_act
+            )
         K = w.shape[0]
         gs = config.group_size if config.group_size > 0 else K
         if gs > K:
@@ -185,8 +213,14 @@ def dequantize_model(qparams: QuantizedParams, dtype=jnp.float32):
     """Reconstruct a float params tree (for debugging / parity tests)."""
 
     def deq(leaf):
-        if _is_qt(leaf):
+        if isinstance(leaf, QuantizedTensor):
             return dequantize(leaf, dtype=dtype)
+        if _is_qt(leaf):  # W8A8Tensor
+            from intel_extension_for_transformers_tpu.quantization.smoothquant import (
+                dequantize_w8a8,
+            )
+
+            return dequantize_w8a8(leaf, dtype=dtype)
         return leaf
 
     return jax.tree.map(deq, qparams.params, is_leaf=_is_qt)

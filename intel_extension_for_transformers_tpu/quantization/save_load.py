@@ -20,6 +20,9 @@ import jax
 import jax.numpy as jnp
 
 from intel_extension_for_transformers_tpu.ops.packing import QuantizedTensor
+from intel_extension_for_transformers_tpu.quantization.smoothquant import (
+    W8A8Tensor,
+)
 from intel_extension_for_transformers_tpu.quantization.config import (
     config_from_dict,
 )
@@ -33,7 +36,7 @@ CONFIG_NAME = "quantization_config.json"
 
 
 def _is_qt(x):
-    return isinstance(x, QuantizedTensor)
+    return isinstance(x, (QuantizedTensor, W8A8Tensor))
 
 
 def save_low_bit(qparams: QuantizedParams, save_dir: str) -> None:
@@ -43,6 +46,15 @@ def save_low_bit(qparams: QuantizedParams, save_dir: str) -> None:
 
     def visit(path, leaf):
         p = _path_str(path)
+        if isinstance(leaf, W8A8Tensor):
+            arrays[p + "::data"] = np.asarray(leaf.data)
+            arrays[p + "::w_scale"] = np.asarray(leaf.w_scale)
+            if leaf.act_scale is not None:
+                arrays[p + "::act_scale"] = np.asarray(leaf.act_scale)
+            if leaf.pre_scale is not None:
+                arrays[p + "::pre_scale"] = np.asarray(leaf.pre_scale)
+            qt_meta[p] = {"kind": "w8a8", "K": leaf.K, "N": leaf.N}
+            return leaf
         if _is_qt(leaf):
             arrays[p + "::data"] = np.asarray(leaf.data)
             arrays[p + "::scales"] = np.asarray(leaf.scales)
@@ -105,6 +117,20 @@ def load_low_bit(save_dir: str) -> QuantizedParams:
     leaves: dict[str, Any] = dict(plain)
     for path, parts in qt_parts.items():
         m = qt_meta[path]
+        if m.get("kind") == "w8a8":
+            leaves[path] = W8A8Tensor(
+                data=jnp.asarray(parts["data"]),
+                w_scale=jnp.asarray(parts["w_scale"]),
+                act_scale=(
+                    jnp.asarray(parts["act_scale"]) if "act_scale" in parts else None
+                ),
+                pre_scale=(
+                    jnp.asarray(parts["pre_scale"]) if "pre_scale" in parts else None
+                ),
+                K=m["K"],
+                N=m["N"],
+            )
+            continue
         leaves[path] = QuantizedTensor(
             data=jnp.asarray(parts["data"]),
             scales=jnp.asarray(parts["scales"]),
