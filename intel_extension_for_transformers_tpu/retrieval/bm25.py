@@ -24,7 +24,7 @@ def tokenize(text: str) -> List[str]:
 
 
 class BM25Retriever:
-    def __init__(self, k1: float = 1.5, b: float = 0.75):
+    def __init__(self, k1: float = 1.5, b: float = 0.75, prefer_native: bool = True):
         self.k1 = k1
         self.b = b
         self.docs: List[dict] = []
@@ -32,6 +32,12 @@ class BM25Retriever:
         self._tf: List[Counter] = []
         self._doc_len: List[int] = []
         self._avgdl: float = 0.0
+        self._native = None
+        if prefer_native:
+            from intel_extension_for_transformers_tpu import native
+
+            if native.available():
+                self._native = native.BM25Native(k1, b)
 
     @classmethod
     def from_documents(cls, docs: List[dict], **kw) -> "BM25Retriever":
@@ -41,14 +47,18 @@ class BM25Retriever:
 
     def add_documents(self, docs: List[dict]) -> None:
         for d in docs:
-            toks = tokenize(d["content"])
-            tf = Counter(toks)
-            self._tf.append(tf)
-            self._doc_len.append(len(toks))
-            for t in tf:
-                self._df[t] += 1
+            if self._native is not None:
+                self._native.add(d["content"])
+            else:
+                toks = tokenize(d["content"])
+                tf = Counter(toks)
+                self._tf.append(tf)
+                self._doc_len.append(len(toks))
+                for t in tf:
+                    self._df[t] += 1
             self.docs.append(d)
-        self._avgdl = float(np.mean(self._doc_len)) if self._doc_len else 0.0
+        if self._native is None:
+            self._avgdl = float(np.mean(self._doc_len)) if self._doc_len else 0.0
 
     def _idf(self, term: str) -> float:
         n = len(self.docs)
@@ -56,6 +66,11 @@ class BM25Retriever:
         return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
 
     def score(self, query: str) -> np.ndarray:
+        if self._native is not None:
+            ids, scores = self._native.query(query, len(self.docs))
+            out = np.zeros(len(self.docs), np.float32)
+            out[ids] = scores
+            return out
         q_terms = tokenize(query)
         scores = np.zeros(len(self.docs), np.float32)
         for t in q_terms:
@@ -73,6 +88,10 @@ class BM25Retriever:
     def get_relevant_documents(self, query: str, k: int = 4) -> List[dict]:
         if not self.docs:
             return []
+        if self._native is not None:
+            ids, scores = self._native.query(query, k)
+            hits = [self.docs[i] for i, s in zip(ids, scores) if s > 0]
+            return hits or [self.docs[i] for i in ids]
         scores = self.score(query)
         top = np.argsort(-scores)[:k]
         return [self.docs[i] for i in top if scores[i] > 0] or [

@@ -22,6 +22,7 @@ class RecursiveCharacterTextSplitter:
         separators: Optional[List[str]] = None,
         length_function: Callable[[str], int] = len,
         keep_separator: bool = True,
+        use_native: Optional[bool] = None,  # None = auto when semantics allow
     ):
         if chunk_overlap >= chunk_size:
             raise ValueError("chunk_overlap must be < chunk_size")
@@ -30,8 +31,24 @@ class RecursiveCharacterTextSplitter:
         self.separators = separators or DEFAULT_SEPARATORS
         self.length = length_function
         self.keep_separator = keep_separator
+        # the native engine implements exactly the default configuration
+        self._native_ok = (
+            use_native is not False
+            and self.separators == DEFAULT_SEPARATORS
+            and length_function is len
+            and keep_separator
+        )
+        if use_native:
+            from intel_extension_for_transformers_tpu import native
+
+            assert native.available(), "native text engine unavailable"
 
     def split_text(self, text: str) -> List[str]:
+        if self._native_ok and text.isascii():
+            from intel_extension_for_transformers_tpu import native
+
+            if native.available():
+                return native.split_text(text, self.chunk_size, self.chunk_overlap)
         chunks = self._split(text, self.separators)
         return [c for c in (c.strip() for c in chunks) if c]
 
