@@ -1,0 +1,200 @@
+"""Benchmark API: latency/throughput measurement on TPU.
+
+Re-creation of the reference's benchmark surface
+(reference: transformers/benchmark.py:28-90 multi-instance INC benchmark +
+`BenchmarkConfig` transformers/config.py:148 + utils/get_throughput.py).
+
+TPU methodology (differs from the reference's multi-process CPU instances by
+necessity): the chip is reached through a network relay whose per-dispatch
+latency can exceed kernel time, so hot loops are timed as MANY iterations
+inside ONE jitted lax.fori_loop program ("fused" timing) and wall time is
+divided by the iteration count. Multi-instance throughput parallelism is
+subsumed by batching: one SPMD program with a bigger batch IS the TPU
+analogue of N weight-sharing processes (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class BenchmarkConfig:
+    """(reference: transformers/config.py:148)"""
+
+    batch_size: int = 1
+    seq_len: int = 128
+    num_of_instance: int = 1  # parity knob; folded into batch on TPU
+    warmup: int = 3
+    iteration: int = 20
+    generate_tokens: int = 32
+    kwargs: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class BenchmarkResult:
+    latency_ms: float
+    p50_ms: float
+    p90_ms: float
+    p99_ms: float
+    throughput: float  # items/s (meaning depends on workload)
+    unit: str = "samples/s"
+
+    def summary(self) -> str:
+        return (
+            f"latency {self.latency_ms:.3f} ms (p50 {self.p50_ms:.3f} "
+            f"p90 {self.p90_ms:.3f} p99 {self.p99_ms:.3f}), "
+            f"throughput {self.throughput:,.1f} {self.unit}"
+        )
+
+
+def benchmark_callable(
+    fn: Callable[[], Any],
+    warmup: int = 3,
+    iteration: int = 20,
+    items_per_call: float = 1.0,
+    unit: str = "samples/s",
+) -> BenchmarkResult:
+    """Generic timer: fn() must block until results are ready."""
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(iteration):
+        t0 = time.perf_counter()
+        fn()
+        times.append((time.perf_counter() - t0) * 1e3)
+    arr = np.asarray(times)
+    mean = float(arr.mean())
+    return BenchmarkResult(
+        latency_ms=mean,
+        p50_ms=float(np.percentile(arr, 50)),
+        p90_ms=float(np.percentile(arr, 90)),
+        p99_ms=float(np.percentile(arr, 99)),
+        throughput=items_per_call / (mean / 1e3),
+        unit=unit,
+    )
+
+
+def benchmark_fused(
+    step_fn: Callable[[Any, Any], Any],
+    init_state: Any,
+    iters: int = 100,
+    warmup: bool = True,
+    items_per_iter: float = 1.0,
+    unit: str = "items/s",
+) -> BenchmarkResult:
+    """Time `iters` applications of step_fn inside ONE jitted fori_loop —
+    immune to per-dispatch relay latency. step_fn(i, state) → state must be
+    shape-stable."""
+
+    @jax.jit
+    def run(state):
+        return jax.lax.fori_loop(0, iters, step_fn, state)
+
+    out = run(init_state)  # compile + warmup run
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = run(init_state)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    per = dt / iters * 1e3
+    return BenchmarkResult(
+        latency_ms=per,
+        p50_ms=per,
+        p90_ms=per,
+        p99_ms=per,
+        throughput=items_per_iter / (per / 1e3),
+        unit=unit,
+    )
+
+
+def benchmark_generation(
+    params,
+    model_config,
+    config: Optional[BenchmarkConfig] = None,
+) -> Dict[str, BenchmarkResult]:
+    """Decode-path benchmark: prefill latency + per-token decode throughput
+    (the reference's first-token / next-token split, docs/release_data.md)."""
+    from intel_extension_for_transformers_tpu.models.llama import (
+        init_kv_cache,
+        llama_apply,
+    )
+
+    cfg = config or BenchmarkConfig()
+    B, T = cfg.batch_size, cfg.seq_len
+    S = T + cfg.generate_tokens
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, model_config.vocab_size, (B, T)),
+        jnp.int32,
+    )
+
+    @jax.jit
+    def prefill(ids):
+        cache = init_kv_cache(model_config, B, S)
+        logits, cache = llama_apply(params, model_config, ids, cache)
+        return logits[:, -1], cache
+
+    logits, cache0 = prefill(ids)
+    jax.block_until_ready(logits)
+    prefill_res = benchmark_callable(
+        lambda: jax.block_until_ready(prefill(ids)),
+        warmup=cfg.warmup,
+        iteration=cfg.iteration,
+        items_per_call=B * T,
+        unit="prefill tokens/s",
+    )
+
+    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def decode_step(i, state):
+        tok, cache = state
+        logits, cache = llama_apply(params, model_config, tok[:, None], cache)
+        return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+
+    decode_res = benchmark_fused(
+        decode_step,
+        (tok0, cache0),
+        iters=cfg.generate_tokens,
+        items_per_iter=B,
+        unit="decode tokens/s",
+    )
+    return {"prefill": prefill_res, "decode": decode_res}
+
+
+def benchmark_encoder(
+    params,
+    model_config,
+    config: Optional[BenchmarkConfig] = None,
+) -> BenchmarkResult:
+    """Embedding-encode throughput (the reference's BGE MTEB deployment
+    number, examples/.../mteb/bge)."""
+    from intel_extension_for_transformers_tpu.models.bert import bert_encode
+
+    cfg = config or BenchmarkConfig()
+    B, T = cfg.batch_size, cfg.seq_len
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, model_config.vocab_size, (B, T)),
+        jnp.int32,
+    )
+    mask = jnp.ones((B, T), jnp.int32)
+
+    def run():
+        return jax.block_until_ready(
+            bert_encode(params, model_config, ids, mask)
+        )
+
+    run()
+    return benchmark_callable(
+        run,
+        warmup=cfg.warmup,
+        iteration=cfg.iteration,
+        items_per_call=B,
+        unit="sentences/s",
+    )
