@@ -59,7 +59,10 @@ MODEL_CONFIG_NAME = "tpu_model_config.json"
 
 # model_type → (config class, wrapper class name) filled in below
 _ENCODER_TYPES = {"bert", "roberta", "bge", "minilm"}
-_DECODER_TYPES = {"llama", "mistral", "qwen2"}  # llama-architecture family
+_LLAMA_TYPES = {"llama", "mistral", "qwen2"}  # llama-architecture family
+# generic-decoder families (models/decoder.py; reference model_type menu
+# modeling_auto.py:325-347)
+_GENERIC_TYPES = {"gptj", "gpt_neox", "opt", "bloom", "mpt", "falcon", "phi"}
 
 
 def _config_to_dict(cfg) -> dict:
@@ -115,12 +118,16 @@ class TpuCausalLM(_TpuModelBase):
     # -- forward ----------------------------------------------------------
     def __call__(self, input_ids, cache=None):
         """→ (logits, cache). Fresh cache sized to the prompt if None."""
+        from intel_extension_for_transformers_tpu.models.registry import (
+            get_apply_fn,
+        )
+
         ids = jnp.asarray(input_ids)
         if ids.ndim == 1:
             ids = ids[None, :]
         if cache is None:
             cache = init_kv_cache(self.config, ids.shape[0], ids.shape[1])
-        return llama_apply(self.params, self.config, ids, cache)
+        return get_apply_fn(self.config)(self.params, self.config, ids, cache)
 
     # -- generation -------------------------------------------------------
     def generate(self, input_ids, sampling: Optional[SamplingConfig] = None, **kw):
@@ -205,7 +212,15 @@ def _wrap_from_low_bit_dir(path: str):
         )
         m.model_type = model_type
         return m
-    m = TpuCausalLM(qp.params, LlamaConfig(**cfg_dict), tokenizer, qp.config)
+    if model_type in _GENERIC_TYPES:
+        from intel_extension_for_transformers_tpu.models.decoder import (
+            DecoderConfig,
+        )
+
+        cfg = DecoderConfig(**cfg_dict)
+    else:
+        cfg = LlamaConfig(**cfg_dict)
+    m = TpuCausalLM(qp.params, cfg, tokenizer, qp.config)
     m.model_type = model_type
     return m
 
@@ -259,15 +274,22 @@ class AutoModelForCausalLM:
         """Convert an already-instantiated HF torch model (used by tests —
         tiny-model substitution, reference tests/CI/test_weight_only.py:75)."""
         from intel_extension_for_transformers_tpu.models.hf_convert import (
+            decoder_params_from_hf,
             llama_params_from_hf,
         )
 
-        params, config = llama_params_from_hf(hf_model)
+        if hf_model.config.model_type in _GENERIC_TYPES:
+            params, config = decoder_params_from_hf(hf_model)
+        else:
+            params, config = llama_params_from_hf(hf_model)
         qcfg = _resolve_quant_config(quantization_config, load_in_4bit, load_in_8bit)
         if qcfg is not None:
             qp = quantize_model(params, qcfg, calib_inputs=calib_inputs)
-            return TpuCausalLM(qp.params, config, tokenizer, qp.config)
-        return TpuCausalLM(params, config, tokenizer, None)
+            model = TpuCausalLM(qp.params, config, tokenizer, qp.config)
+        else:
+            model = TpuCausalLM(params, config, tokenizer, None)
+        model.model_type = getattr(config, "model_type", "llama")
+        return model
 
     @classmethod
     def load_low_bit(cls, save_dir: str) -> TpuCausalLM:

@@ -29,10 +29,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from intel_extension_for_transformers_tpu.models.registry import (
+    get_apply_fn,
+)
 from intel_extension_for_transformers_tpu.models.llama import (
     LlamaConfig,
     init_kv_cache,
-    llama_apply,
 )
 
 
@@ -90,7 +92,7 @@ def _mark_seen(seen: jax.Array, token: jax.Array) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("config", "cfg"))
 def _decode_step(params, config, cfg, cache, token, rng, seen):
-    logits, cache = llama_apply(params, config, token[:, None], cache)
+    logits, cache = get_apply_fn(config)(params, config, token[:, None], cache)
     rng, sub = jax.random.split(rng)
     nxt = sample_logits(logits[:, -1], sub, cfg, seen)
     seen = _mark_seen(seen, nxt)
@@ -120,7 +122,7 @@ def generate_stream(
         logits, cache = kv_policy.prefill(params, config, ids, cache)
     else:
         cache = init_kv_cache(config, B, S, dtype=cache_dtype)
-        logits, cache = llama_apply(params, config, ids, cache)
+        logits, cache = get_apply_fn(config)(params, config, ids, cache)
 
     rng = jax.random.PRNGKey(seed)
     rng, sub = jax.random.split(rng)
@@ -177,7 +179,7 @@ def generate_compiled(
     B, T = input_ids.shape
     S = max_cache_length or (T + cfg.max_new_tokens)
     cache = init_kv_cache(config, B, S, dtype=jnp.bfloat16)
-    logits, cache = llama_apply(params, config, input_ids, cache)
+    logits, cache = get_apply_fn(config)(params, config, input_ids, cache)
     rng, sub = jax.random.split(rng)
     seen = _seen_from_ids(input_ids, config.vocab_size)
     token0 = sample_logits(logits[:, -1], sub, cfg, seen)
@@ -187,7 +189,7 @@ def generate_compiled(
 
     def step(carry, _):
         token, cache, rng, seen, done = carry
-        logits, cache = llama_apply(params, config, token[:, None], cache)
+        logits, cache = get_apply_fn(config)(params, config, token[:, None], cache)
         rng, sub = jax.random.split(rng)
         nxt = sample_logits(logits[:, -1], sub, cfg, seen)
         seen = _mark_seen(seen, nxt)

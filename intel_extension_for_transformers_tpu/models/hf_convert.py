@@ -136,3 +136,414 @@ def llama_params_from_hf(hf_model) -> tuple[dict, "LlamaConfig"]:
             }
         )
     return params, config
+
+
+# ---------------------------------------------------------------------------
+# Generic decoder families (models/decoder.py)
+# (reference: modeling_auto.py:325-347 model_type menu — gptj, gpt_neox, opt,
+#  bloom, mpt, falcon, phi, gpt_bigcode — each a distinct torch/neural-speed
+#  port there; here one converter per checkpoint layout into the same tree)
+# ---------------------------------------------------------------------------
+
+
+def _norm_p(sd: Mapping, prefix: str) -> dict:
+    out = {"scale": jnp.asarray(_np(sd[prefix + ".weight"]))}
+    if prefix + ".bias" in sd:
+        out["bias"] = jnp.asarray(_np(sd[prefix + ".bias"]))
+    return out
+
+
+def _split_fused_qkv_per_head(w, b, nh, hd):
+    """Fused (3·nh·hd, H) with per-head [q,k,v] blocks (GPT-NeoX/BLOOM)."""
+    H = w.shape[1]
+    w3 = w.reshape(nh, 3, hd, H)
+    outs = []
+    for j in range(3):
+        p = {"kernel": jnp.asarray(w3[:, j].reshape(nh * hd, H).T)}
+        if b is not None:
+            p["bias"] = jnp.asarray(b.reshape(nh, 3, hd)[:, j].reshape(-1))
+        outs.append(p)
+    return outs  # [q, k, v]
+
+
+def decoder_params_from_hf(hf_model):
+    """Convert a supported HF causal LM into (params, DecoderConfig)."""
+    from intel_extension_for_transformers_tpu.models.decoder import DecoderConfig
+
+    hc = hf_model.config
+    mt = hc.model_type
+    sd = {k: v for k, v in hf_model.state_dict().items()}
+    conv = _DECODER_CONVERTERS.get(mt)
+    if conv is None:
+        raise ValueError(
+            f"unsupported model_type {mt!r}; supported: "
+            f"{sorted(_DECODER_CONVERTERS)} (+ llama family via "
+            "llama_params_from_hf)"
+        )
+    return conv(hc, sd)
+
+
+def _act_of(hc, default="gelu_new"):
+    a = getattr(hc, "activation_function", getattr(hc, "hidden_act", default))
+    return {"gelu": "gelu", "gelu_new": "gelu_new", "gelu_fast": "gelu_new",
+            "gelu_pytorch_tanh": "gelu_new", "relu": "relu",
+            "silu": "silu"}.get(a, default)
+
+
+def _convert_gptj(hc, sd):
+    from intel_extension_for_transformers_tpu.models.decoder import DecoderConfig
+
+    hd = hc.n_embd // hc.n_head
+    config = DecoderConfig(
+        model_type="gptj",
+        vocab_size=hc.vocab_size,
+        hidden_size=hc.n_embd,
+        num_hidden_layers=hc.n_layer,
+        num_attention_heads=hc.n_head,
+        num_key_value_heads=hc.n_head,
+        intermediate_size=getattr(hc, "n_inner", None) or 4 * hc.n_embd,
+        max_position_embeddings=hc.n_positions,
+        rotary_pct=hc.rotary_dim / hd,
+        rotary_interleaved=True,
+        parallel_residual=True,
+        shared_ln=True,
+        activation=_act_of(hc),
+        attention_bias=False,
+        mlp_bias=True,
+        lm_head_bias="lm_head.bias" in sd,
+        norm_eps=hc.layer_norm_epsilon,
+    )
+    params = {
+        "embed_tokens": jnp.asarray(_np(sd["transformer.wte.weight"])),
+        "layers": [],
+        "final_norm": _norm_p(sd, "transformer.ln_f"),
+        "lm_head": _lin(sd, "lm_head"),
+    }
+    for li in range(config.num_hidden_layers):
+        p = f"transformer.h.{li}."
+        params["layers"].append(
+            {
+                "ln1": _norm_p(sd, p + "ln_1"),
+                "attention": {
+                    "q": _lin(sd, p + "attn.q_proj"),
+                    "k": _lin(sd, p + "attn.k_proj"),
+                    "v": _lin(sd, p + "attn.v_proj"),
+                    "o": _lin(sd, p + "attn.out_proj"),
+                },
+                "mlp": {
+                    "up": _lin(sd, p + "mlp.fc_in"),
+                    "down": _lin(sd, p + "mlp.fc_out"),
+                },
+            }
+        )
+    return params, config
+
+
+def _convert_gpt_neox(hc, sd):
+    from intel_extension_for_transformers_tpu.models.decoder import DecoderConfig
+
+    nh = hc.num_attention_heads
+    hd = hc.hidden_size // nh
+    config = DecoderConfig(
+        model_type="gpt_neox",
+        vocab_size=hc.vocab_size,
+        hidden_size=hc.hidden_size,
+        num_hidden_layers=hc.num_hidden_layers,
+        num_attention_heads=nh,
+        num_key_value_heads=nh,
+        intermediate_size=hc.intermediate_size,
+        max_position_embeddings=hc.max_position_embeddings,
+        rotary_pct=hc.rotary_pct,
+        rope_theta=getattr(hc, "rotary_emb_base", 10000.0),
+        parallel_residual=hc.use_parallel_residual,
+        activation=_act_of(hc, "gelu"),
+        norm_eps=hc.layer_norm_eps,
+    )
+    params = {
+        "embed_tokens": jnp.asarray(_np(sd["gpt_neox.embed_in.weight"])),
+        "layers": [],
+        "final_norm": _norm_p(sd, "gpt_neox.final_layer_norm"),
+        "lm_head": {"kernel": jnp.asarray(_np(sd["embed_out.weight"]).T)},
+    }
+    for li in range(config.num_hidden_layers):
+        p = f"gpt_neox.layers.{li}."
+        w = _np(sd[p + "attention.query_key_value.weight"])
+        b = _np(sd[p + "attention.query_key_value.bias"])
+        q, k, v = _split_fused_qkv_per_head(w, b, nh, hd)
+        params["layers"].append(
+            {
+                "ln1": _norm_p(sd, p + "input_layernorm"),
+                "ln2": _norm_p(sd, p + "post_attention_layernorm"),
+                "attention": {"q": q, "k": k, "v": v,
+                              "o": _lin(sd, p + "attention.dense")},
+                "mlp": {
+                    "up": _lin(sd, p + "mlp.dense_h_to_4h"),
+                    "down": _lin(sd, p + "mlp.dense_4h_to_h"),
+                },
+            }
+        )
+    return params, config
+
+
+def _convert_opt(hc, sd):
+    from intel_extension_for_transformers_tpu.models.decoder import DecoderConfig
+
+    config = DecoderConfig(
+        model_type="opt",
+        vocab_size=hc.vocab_size,
+        hidden_size=hc.hidden_size,
+        num_hidden_layers=hc.num_hidden_layers,
+        num_attention_heads=hc.num_attention_heads,
+        num_key_value_heads=hc.num_attention_heads,
+        intermediate_size=hc.ffn_dim,
+        max_position_embeddings=hc.max_position_embeddings,
+        pos_embedding="learned",
+        learned_pos_offset=2,
+        activation=_act_of(hc, "relu"),
+        tie_word_embeddings=True,
+        norm_eps=1e-5,
+    )
+    pre = "model.decoder."
+    params = {
+        "embed_tokens": jnp.asarray(_np(sd[pre + "embed_tokens.weight"])),
+        "pos_embed": jnp.asarray(_np(sd[pre + "embed_positions.weight"])),
+        "layers": [],
+        "final_norm": _norm_p(sd, pre + "final_layer_norm"),
+        "lm_head": {
+            "kernel": jnp.asarray(_np(sd[pre + "embed_tokens.weight"]).T)
+        },
+    }
+    for li in range(config.num_hidden_layers):
+        p = f"{pre}layers.{li}."
+        params["layers"].append(
+            {
+                "ln1": _norm_p(sd, p + "self_attn_layer_norm"),
+                "ln2": _norm_p(sd, p + "final_layer_norm"),
+                "attention": {
+                    "q": _lin(sd, p + "self_attn.q_proj"),
+                    "k": _lin(sd, p + "self_attn.k_proj"),
+                    "v": _lin(sd, p + "self_attn.v_proj"),
+                    "o": _lin(sd, p + "self_attn.out_proj"),
+                },
+                "mlp": {"up": _lin(sd, p + "fc1"), "down": _lin(sd, p + "fc2")},
+            }
+        )
+    return params, config
+
+
+def _convert_bloom(hc, sd):
+    from intel_extension_for_transformers_tpu.models.decoder import DecoderConfig
+
+    nh = hc.n_head
+    hd = hc.hidden_size // nh
+    config = DecoderConfig(
+        model_type="bloom",
+        vocab_size=hc.vocab_size,
+        hidden_size=hc.hidden_size,
+        num_hidden_layers=hc.n_layer,
+        num_attention_heads=nh,
+        num_key_value_heads=nh,
+        intermediate_size=4 * hc.hidden_size,
+        max_position_embeddings=4096,
+        pos_embedding="alibi",
+        embedding_norm=True,
+        activation="gelu_new",  # BloomGelu is the tanh approximation
+        tie_word_embeddings=True,
+        norm_eps=hc.layer_norm_epsilon,
+    )
+    pre = "transformer."
+    params = {
+        "embed_tokens": jnp.asarray(_np(sd[pre + "word_embeddings.weight"])),
+        "embed_norm": _norm_p(sd, pre + "word_embeddings_layernorm"),
+        "layers": [],
+        "final_norm": _norm_p(sd, pre + "ln_f"),
+        "lm_head": {
+            "kernel": jnp.asarray(_np(sd[pre + "word_embeddings.weight"]).T)
+        },
+    }
+    for li in range(config.num_hidden_layers):
+        p = f"{pre}h.{li}."
+        w = _np(sd[p + "self_attention.query_key_value.weight"])
+        b = _np(sd[p + "self_attention.query_key_value.bias"])
+        q, k, v = _split_fused_qkv_per_head(w, b, nh, hd)
+        params["layers"].append(
+            {
+                "ln1": _norm_p(sd, p + "input_layernorm"),
+                "ln2": _norm_p(sd, p + "post_attention_layernorm"),
+                "attention": {"q": q, "k": k, "v": v,
+                              "o": _lin(sd, p + "self_attention.dense")},
+                "mlp": {
+                    "up": _lin(sd, p + "mlp.dense_h_to_4h"),
+                    "down": _lin(sd, p + "mlp.dense_4h_to_h"),
+                },
+            }
+        )
+    return params, config
+
+
+def _convert_mpt(hc, sd):
+    from intel_extension_for_transformers_tpu.models.decoder import DecoderConfig
+
+    H = hc.d_model
+    config = DecoderConfig(
+        model_type="mpt",
+        vocab_size=hc.vocab_size,
+        hidden_size=H,
+        num_hidden_layers=hc.n_layers,
+        num_attention_heads=hc.n_heads,
+        num_key_value_heads=hc.n_heads,
+        intermediate_size=getattr(hc, "expansion_ratio", 4) * H,
+        max_position_embeddings=hc.max_seq_len,
+        pos_embedding="alibi",
+        activation="gelu",
+        attention_bias=False,
+        mlp_bias=False,
+        tie_word_embeddings=True,
+        norm_eps=1e-5,
+    )
+    pre = "transformer."
+    params = {
+        "embed_tokens": jnp.asarray(_np(sd[pre + "wte.weight"])),
+        "layers": [],
+        "final_norm": _norm_p(sd, pre + "norm_f"),
+        "lm_head": {"kernel": jnp.asarray(_np(sd[pre + "wte.weight"]).T)},
+    }
+    for li in range(config.num_hidden_layers):
+        p = f"{pre}blocks.{li}."
+        w = _np(sd[p + "attn.Wqkv.weight"])  # (3H, H), thirds [Q;K;V]
+        q_w, k_w, v_w = np.split(w, 3, axis=0)
+        params["layers"].append(
+            {
+                "ln1": _norm_p(sd, p + "norm_1"),
+                "ln2": _norm_p(sd, p + "norm_2"),
+                "attention": {
+                    "q": {"kernel": jnp.asarray(q_w.T)},
+                    "k": {"kernel": jnp.asarray(k_w.T)},
+                    "v": {"kernel": jnp.asarray(v_w.T)},
+                    "o": _lin(sd, p + "attn.out_proj"),
+                },
+                "mlp": {
+                    "up": _lin(sd, p + "ffn.up_proj"),
+                    "down": _lin(sd, p + "ffn.down_proj"),
+                },
+            }
+        )
+    return params, config
+
+
+def _convert_falcon(hc, sd):
+    from intel_extension_for_transformers_tpu.models.decoder import DecoderConfig
+
+    nh = hc.num_attention_heads
+    hd = hc.hidden_size // nh
+    multi_query = getattr(hc, "multi_query", True)
+    nkv = 1 if multi_query else getattr(hc, "num_kv_heads", nh)
+    config = DecoderConfig(
+        model_type="falcon",
+        vocab_size=hc.vocab_size,
+        hidden_size=hc.hidden_size,
+        num_hidden_layers=hc.num_hidden_layers,
+        num_attention_heads=nh,
+        num_key_value_heads=nkv,
+        intermediate_size=4 * hc.hidden_size,
+        max_position_embeddings=2048,
+        rope_theta=getattr(hc, "rope_theta", 10000.0),
+        parallel_residual=getattr(hc, "parallel_attn", True),
+        shared_ln=getattr(hc, "parallel_attn", True),
+        activation="gelu",
+        attention_bias=getattr(hc, "bias", False),
+        mlp_bias=getattr(hc, "bias", False),
+        tie_word_embeddings=True,
+        norm_eps=hc.layer_norm_epsilon,
+    )
+    pre = "transformer."
+    params = {
+        "embed_tokens": jnp.asarray(_np(sd[pre + "word_embeddings.weight"])),
+        "layers": [],
+        "final_norm": _norm_p(sd, pre + "ln_f"),
+        "lm_head": {
+            "kernel": jnp.asarray(_np(sd[pre + "word_embeddings.weight"]).T)
+        },
+    }
+    for li in range(config.num_hidden_layers):
+        p = f"{pre}h.{li}."
+        w = _np(sd[p + "self_attention.query_key_value.weight"])
+        # falcon-7b fused layout: [q (nh·hd), k (nkv·hd), v (nkv·hd)]
+        q_w = w[: nh * hd]
+        k_w = w[nh * hd : nh * hd + nkv * hd]
+        v_w = w[nh * hd + nkv * hd :]
+        params["layers"].append(
+            {
+                "ln1": _norm_p(sd, p + "input_layernorm"),
+                "attention": {
+                    "q": {"kernel": jnp.asarray(q_w.T)},
+                    "k": {"kernel": jnp.asarray(k_w.T)},
+                    "v": {"kernel": jnp.asarray(v_w.T)},
+                    "o": _lin(sd, p + "self_attention.dense"),
+                },
+                "mlp": {
+                    "up": _lin(sd, p + "mlp.dense_h_to_4h"),
+                    "down": _lin(sd, p + "mlp.dense_4h_to_h"),
+                },
+            }
+        )
+    return params, config
+
+
+def _convert_phi(hc, sd):
+    from intel_extension_for_transformers_tpu.models.decoder import DecoderConfig
+
+    config = DecoderConfig(
+        model_type="phi",
+        vocab_size=hc.vocab_size,
+        hidden_size=hc.hidden_size,
+        num_hidden_layers=hc.num_hidden_layers,
+        num_attention_heads=hc.num_attention_heads,
+        num_key_value_heads=getattr(hc, "num_key_value_heads", None)
+        or hc.num_attention_heads,
+        intermediate_size=hc.intermediate_size,
+        max_position_embeddings=hc.max_position_embeddings,
+        rotary_pct=getattr(hc, "partial_rotary_factor", 0.5),
+        rope_theta=getattr(hc, "rope_theta", 10000.0),
+        parallel_residual=True,
+        shared_ln=True,
+        activation=_act_of(hc, "gelu_new"),
+        lm_head_bias=True,
+        norm_eps=hc.layer_norm_eps,
+    )
+    pre = "model."
+    params = {
+        "embed_tokens": jnp.asarray(_np(sd[pre + "embed_tokens.weight"])),
+        "layers": [],
+        "final_norm": _norm_p(sd, pre + "final_layernorm"),
+        "lm_head": _lin(sd, "lm_head"),
+    }
+    for li in range(config.num_hidden_layers):
+        p = f"{pre}layers.{li}."
+        params["layers"].append(
+            {
+                "ln1": _norm_p(sd, p + "input_layernorm"),
+                "attention": {
+                    "q": _lin(sd, p + "self_attn.q_proj"),
+                    "k": _lin(sd, p + "self_attn.k_proj"),
+                    "v": _lin(sd, p + "self_attn.v_proj"),
+                    "o": _lin(sd, p + "self_attn.dense"),
+                },
+                "mlp": {
+                    "up": _lin(sd, p + "mlp.fc1"),
+                    "down": _lin(sd, p + "mlp.fc2"),
+                },
+            }
+        )
+    return params, config
+
+
+_DECODER_CONVERTERS = {
+    "gptj": _convert_gptj,
+    "gpt_neox": _convert_gpt_neox,
+    "opt": _convert_opt,
+    "bloom": _convert_bloom,
+    "mpt": _convert_mpt,
+    "falcon": _convert_falcon,
+    "phi": _convert_phi,
+}

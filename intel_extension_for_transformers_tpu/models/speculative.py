@@ -28,10 +28,12 @@ import jax
 import jax.numpy as jnp
 
 from intel_extension_for_transformers_tpu.models.generation import SamplingConfig
+from intel_extension_for_transformers_tpu.models.registry import (
+    get_apply_fn,
+)
 from intel_extension_for_transformers_tpu.models.llama import (
     LlamaConfig,
     init_kv_cache,
-    llama_apply,
 )
 
 
@@ -50,7 +52,7 @@ def _draft_propose(params, config, cache, cur, rng, spec_k, temperature, greedy)
 
     def step(carry, _):
         tok, cache, rng = carry
-        logits, cache = llama_apply(params, config, tok[None, :], cache)
+        logits, cache = get_apply_fn(config)(params, config, tok[None, :], cache)
         q = _probs(logits[0, -1], temperature)
         rng, sub = jax.random.split(rng)
         if greedy:
@@ -66,7 +68,7 @@ def _draft_propose(params, config, cache, cur, rng, spec_k, temperature, greedy)
     )
     # append the final draft token to the draft cache (logits unused) so the
     # cache holds cur..d_K and a full-accept round needs no catch-up pass
-    _, cache = llama_apply(params, config, last[None, :], cache)
+    _, cache = get_apply_fn(config)(params, config, last[None, :], cache)
     return toks, qs, cache, rng
 
 
@@ -78,7 +80,7 @@ def _verify(params, config, cache, cur, drafts, qs, rng, spec_k, temperature,
     """Target forward over [cur, d_1..d_K]; on-device acceptance.
     → (n_accept scalar, next_token scalar, cache advanced K+1, rng)."""
     seq = jnp.concatenate([cur, drafts])[None, :]  # (1, K+1)
-    logits, cache = llama_apply(params, config, seq, cache)
+    logits, cache = get_apply_fn(config)(params, config, seq, cache)
     p = _probs(logits[0], temperature)  # (K+1, V): p[i] is dist of token i+1
 
     if greedy:
@@ -138,8 +140,10 @@ def generate_speculative_stream(
 
     t_cache = init_kv_cache(target_config, 1, S, dtype=cache_dtype)
     d_cache = init_kv_cache(draft_config, 1, S, dtype=cache_dtype)
-    t_logits, t_cache = llama_apply(target_params, target_config, ids, t_cache)
-    _, d_cache = llama_apply(draft_params, draft_config, ids, d_cache)
+    t_logits, t_cache = get_apply_fn(target_config)(
+        target_params, target_config, ids, t_cache
+    )
+    _, d_cache = get_apply_fn(draft_config)(draft_params, draft_config, ids, d_cache)
 
     rng = jax.random.PRNGKey(seed)
     p0 = _probs(t_logits[0, -1], temp)

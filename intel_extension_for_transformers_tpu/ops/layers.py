@@ -127,6 +127,7 @@ def attention(
     v: jax.Array,  # (B, Tk, Hkv, D)
     mask: Optional[jax.Array] = None,  # broadcastable to (B, H, Tq, Tk); True=keep
     scale: Optional[float] = None,
+    bias: Optional[jax.Array] = None,  # additive logits bias (ALiBi etc.)
 ) -> jax.Array:
     """Multi-head attention with f32 softmax and GQA support
     (reference: executor/src/operators/multi_head_attention.cpp).
@@ -144,6 +145,8 @@ def attention(
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)

@@ -1,0 +1,205 @@
+"""Multi-architecture decoder parity tests: our generic decoder must match
+the HF torch forward logits on tiny random-init models of each family
+(the conversion+arch-flag correctness oracle; reference coverage:
+modeling_auto.py:325-347 model_type list)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import transformers as hf  # noqa: E402
+
+from intel_extension_for_transformers_tpu.models.decoder import (  # noqa: E402
+    DecoderConfig,
+    decoder_apply,
+    decoder_init_params,
+)
+from intel_extension_for_transformers_tpu.models.hf_convert import (  # noqa: E402
+    decoder_params_from_hf,
+)
+from intel_extension_for_transformers_tpu.models.llama import (  # noqa: E402
+    init_kv_cache,
+)
+
+
+def _parity(hf_model, rtol=2e-2, atol=2e-2, T=12):
+    hf_model.eval()
+    params, config = decoder_params_from_hf(hf_model)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, config.vocab_size, (2, T)).astype(np.int64)
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(ids)).logits.float().numpy()
+    got, _ = decoder_apply(params, config, jnp.asarray(ids, jnp.int32))
+    got = np.asarray(got, np.float32)
+    # compare log-softmax (stable under per-position logit offsets)
+    ref_l = ref - ref.max(-1, keepdims=True)
+    got_l = got - got.max(-1, keepdims=True)
+    err = np.abs(ref_l - got_l).max()
+    assert err < 0.05, f"{config.model_type}: max logit err {err}"
+    return params, config
+
+
+def test_gptj_parity():
+    cfg = hf.GPTJConfig(
+        vocab_size=128, n_positions=64, n_embd=64, n_layer=2, n_head=4,
+        rotary_dim=8, activation_function="gelu_new",
+    )
+    torch.manual_seed(0)
+    _parity(hf.GPTJForCausalLM(cfg))
+
+
+def test_gpt_neox_parity():
+    cfg = hf.GPTNeoXConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=64, rotary_pct=0.25,
+        use_parallel_residual=True,
+    )
+    torch.manual_seed(0)
+    _parity(hf.GPTNeoXForCausalLM(cfg))
+
+
+def test_gpt_neox_sequential_parity():
+    cfg = hf.GPTNeoXConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=64, rotary_pct=1.0,
+        use_parallel_residual=False,
+    )
+    torch.manual_seed(1)
+    _parity(hf.GPTNeoXForCausalLM(cfg))
+
+
+def test_opt_parity():
+    cfg = hf.OPTConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, ffn_dim=128, max_position_embeddings=64,
+        do_layer_norm_before=True, activation_function="relu",
+        word_embed_proj_dim=64,
+    )
+    torch.manual_seed(0)
+    _parity(hf.OPTForCausalLM(cfg))
+
+
+def test_bloom_parity():
+    cfg = hf.BloomConfig(
+        vocab_size=128, hidden_size=64, n_layer=2, n_head=4,
+    )
+    torch.manual_seed(0)
+    _parity(hf.BloomForCausalLM(cfg))
+
+
+def test_mpt_parity():
+    cfg = hf.MptConfig(
+        vocab_size=128, d_model=64, n_layers=2, n_heads=4, max_seq_len=64,
+    )
+    torch.manual_seed(0)
+    _parity(hf.MptForCausalLM(cfg))
+
+
+def test_falcon_parity():
+    cfg = hf.FalconConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, multi_query=True, parallel_attn=True,
+        new_decoder_architecture=False, bias=False, alibi=False,
+    )
+    torch.manual_seed(0)
+    _parity(hf.FalconForCausalLM(cfg))
+
+
+def test_phi_parity():
+    cfg = hf.PhiConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=64, partial_rotary_factor=0.5,
+    )
+    torch.manual_seed(0)
+    _parity(hf.PhiForCausalLM(cfg))
+
+
+# -------------------------------------------------- generation integration
+
+
+def test_decoder_generates_and_caches():
+    """Cached decode == uncached forward for the generic decoder."""
+    config = DecoderConfig.tiny(pos_embedding="alibi", attention_bias=False)
+    import jax
+
+    params = decoder_init_params(jax.random.PRNGKey(0), config)
+    ids = jnp.asarray(np.arange(10, dtype=np.int32)[None, :] % 512)
+    full, _ = decoder_apply(params, config, ids)
+    cache = init_kv_cache(config, 1, 16)
+    logits_p, cache = decoder_apply(params, config, ids[:, :9], cache)
+    logits_d, cache = decoder_apply(params, config, ids[:, 9:], cache)
+    np.testing.assert_allclose(
+        np.asarray(full[:, -1]), np.asarray(logits_d[:, -1]), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_generate_with_generic_decoder():
+    from intel_extension_for_transformers_tpu.models.generation import (
+        SamplingConfig,
+        generate,
+    )
+    import jax
+
+    config = DecoderConfig.tiny(rotary_pct=0.5, parallel_residual=True,
+                                shared_ln=True)
+    params = decoder_init_params(jax.random.PRNGKey(0), config)
+    out = generate(
+        params, config, np.arange(6, dtype=np.int32) % 512,
+        SamplingConfig(max_new_tokens=5, do_sample=False, temperature=0.0,
+                       repetition_penalty=1.0),
+    )
+    assert out.shape == (1, 5)
+
+
+def test_quantize_generic_decoder():
+    from intel_extension_for_transformers_tpu.quantization import (
+        RtnConfig,
+        quantize_model,
+    )
+    import jax
+
+    config = DecoderConfig.tiny()
+    params = decoder_init_params(jax.random.PRNGKey(0), config)
+    ids = jnp.asarray(np.arange(8, dtype=np.int32)[None, :])
+    ref, _ = decoder_apply(params, config, ids)
+    # int8: tight; int4 on random gaussian weights is ~0.10-0.12 per matmul
+    for dtype, tol in [("int8", 0.02), ("int4", 0.3)]:
+        qp = quantize_model(params, RtnConfig(weight_dtype=dtype, group_size=32))
+        assert qp.quantized_paths
+        got, _ = decoder_apply(qp.params, config, ids)
+        rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        assert rel < tol, (dtype, rel)
+
+
+def test_auto_model_generic_family_roundtrip(tmp_path):
+    """AutoModelForCausalLM handles a GPT-J family model end-to-end:
+    convert → quantize → save_low_bit → reload → identical logits."""
+    from intel_extension_for_transformers_tpu import (
+        AutoModelForCausalLM,
+        OptimizedModel,
+        RtnConfig,
+    )
+
+    cfg = hf.GPTJConfig(
+        vocab_size=128, n_positions=64, n_embd=64, n_layer=2, n_head=4,
+        rotary_dim=8,
+    )
+    torch.manual_seed(0)
+    m = AutoModelForCausalLM.from_hf_model(
+        hf.GPTJForCausalLM(cfg),
+        quantization_config=RtnConfig(weight_dtype="int8", group_size=32),
+    )
+    assert m.model_type == "gptj"
+    ids = np.arange(10, dtype=np.int32)[None, :] % 128
+    a, _ = m(ids)
+    d = str(tmp_path / "gptj")
+    m.save_low_bit(d)
+    r = OptimizedModel.from_pretrained(d)
+    assert r.config.model_type == "gptj"
+    b, _ = r(ids)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
