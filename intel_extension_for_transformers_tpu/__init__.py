@@ -33,6 +33,7 @@ _LAZY = {
     # model API (reference: transformers/modeling/modeling_auto.py:1993-2001)
     "AutoModelForCausalLM": "intel_extension_for_transformers_tpu.models.auto",
     "AutoModel": "intel_extension_for_transformers_tpu.models.auto",
+    "AutoModelForSeq2SeqLM": "intel_extension_for_transformers_tpu.models.auto",
     "OptimizedModel": "intel_extension_for_transformers_tpu.models.auto",
     # training (reference: transformers/trainer.py:2033)
     "NLPTrainer": "intel_extension_for_transformers_tpu.trainer.trainer",

@@ -212,6 +212,12 @@ def _wrap_from_low_bit_dir(path: str):
         )
         m.model_type = model_type
         return m
+    if model_type in ("t5", "mt5"):
+        from intel_extension_for_transformers_tpu.models.t5 import T5Config
+
+        m = TpuSeq2SeqModel(qp.params, T5Config(**cfg_dict), tokenizer, qp.config)
+        m.model_type = model_type
+        return m
     if model_type in _GENERIC_TYPES:
         from intel_extension_for_transformers_tpu.models.decoder import (
             DecoderConfig,
@@ -353,6 +359,90 @@ class AutoModel:
     def load_low_bit(cls, save_dir: str) -> TpuEncoderModel:
         model = _wrap_from_low_bit_dir(save_dir)
         assert isinstance(model, TpuEncoderModel)
+        return model
+
+
+class TpuSeq2SeqModel(_TpuModelBase):
+    """T5-family encoder-decoder (reference: AutoModelForSeq2SeqLM export)."""
+
+    model_type = "t5"
+
+    def __call__(self, input_ids, decoder_input_ids, attention_mask=None):
+        from intel_extension_for_transformers_tpu.models.t5 import t5_apply
+
+        return t5_apply(
+            self.params,
+            self.config,
+            jnp.asarray(input_ids),
+            jnp.asarray(decoder_input_ids),
+            None if attention_mask is None else jnp.asarray(attention_mask),
+        )
+
+    def generate(self, input_ids, max_new_tokens: int = 32, **kw):
+        from intel_extension_for_transformers_tpu.models.t5 import t5_generate
+
+        return t5_generate(
+            self.params, self.config, input_ids, max_new_tokens=max_new_tokens,
+            **kw,
+        )
+
+
+class AutoModelForSeq2SeqLM:
+    """(reference: transformers/__init__.py:49 `AutoModelForSeq2SeqLM`)."""
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        pretrained_model_name_or_path: str,
+        quantization_config: Optional[QuantizationConfigMixin] = None,
+        load_in_4bit: bool = False,
+        load_in_8bit: bool = False,
+        **hf_kwargs,
+    ) -> TpuSeq2SeqModel:
+        if _is_low_bit_dir(str(pretrained_model_name_or_path)):
+            model = _wrap_from_low_bit_dir(str(pretrained_model_name_or_path))
+            if not isinstance(model, TpuSeq2SeqModel):
+                raise ValueError(
+                    f"{pretrained_model_name_or_path} is not a seq2seq model"
+                )
+            return model
+        hf_model = _load_hf(
+            pretrained_model_name_or_path, "AutoModelForSeq2SeqLM", **hf_kwargs
+        )
+        tokenizer = _load_tokenizer(pretrained_model_name_or_path)
+        return cls.from_hf_model(
+            hf_model,
+            quantization_config=quantization_config,
+            load_in_4bit=load_in_4bit,
+            load_in_8bit=load_in_8bit,
+            tokenizer=tokenizer,
+        )
+
+    @classmethod
+    def from_hf_model(
+        cls,
+        hf_model,
+        quantization_config=None,
+        load_in_4bit: bool = False,
+        load_in_8bit: bool = False,
+        tokenizer=None,
+        calib_inputs=None,
+    ) -> TpuSeq2SeqModel:
+        from intel_extension_for_transformers_tpu.models.t5 import (
+            t5_params_from_hf,
+        )
+
+        params, config = t5_params_from_hf(hf_model)
+        qcfg = _resolve_quant_config(quantization_config, load_in_4bit, load_in_8bit)
+        if qcfg is not None:
+            qp = quantize_model(params, qcfg, calib_inputs=calib_inputs)
+            return TpuSeq2SeqModel(qp.params, config, tokenizer, qp.config)
+        return TpuSeq2SeqModel(params, config, tokenizer, None)
+
+    @classmethod
+    def load_low_bit(cls, save_dir: str) -> TpuSeq2SeqModel:
+        model = _wrap_from_low_bit_dir(save_dir)
+        assert isinstance(model, TpuSeq2SeqModel)
         return model
 
 

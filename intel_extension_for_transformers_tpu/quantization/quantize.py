@@ -74,7 +74,12 @@ def default_is_quantizable(path: str, leaf) -> bool:
     if leaf.size < MIN_QUANT_SIZE:
         return False
     # embedding tables are gathered, not matmul'd; skip by name
-    if re.search(r"embed|embedding|position|pos_emb|token_type", path, re.I):
+    # ("shared" = T5 tied embedding, "rel_bias" = relative-position table)
+    if re.search(
+        r"embed|embedding|position|pos_emb|token_type|shared|rel_bias",
+        path,
+        re.I,
+    ):
         return False
     return True
 
