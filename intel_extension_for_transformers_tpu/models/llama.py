@@ -305,3 +305,32 @@ def llama_apply(
 # eager (un-jitted) forward: needed by calibration taps
 # (models/calibration.py TapKernel records Python-side during the trace-free run)
 llama_apply_eager = llama_apply.__wrapped__
+
+
+@partial(jax.jit, static_argnames=("config",))
+def llama_apply_with_hidden(
+    params: dict,
+    config: LlamaConfig,
+    input_ids: jax.Array,
+    attention_mask: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Forward → (logits, final-norm hidden states (B, T, H)).
+
+    Used by value-head models (PPO) that need representations alongside
+    logits (reference: trl_models/modeling_value_head.py)."""
+    B, T = input_ids.shape
+    x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+    positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+    cos, sin = rotary_embedding(positions, config.head_dim, config.rope_theta)
+    qi = jnp.arange(T)[:, None]
+    ki = jnp.arange(T)[None, :]
+    mask = (ki <= qi)[None, None, :, :]
+    if attention_mask is not None:
+        mask = mask & attention_mask.astype(bool)[:, None, None, :T]
+    for layer in params["layers"]:
+        x, _, _ = _decoder_layer(
+            layer, x, config, cos, sin, mask, None, None, jnp.int32(0)
+        )
+    hidden = rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    logits = dense(hidden, params["lm_head"]["kernel"])
+    return logits, hidden

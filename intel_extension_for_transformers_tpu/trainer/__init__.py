@@ -5,6 +5,11 @@ from intel_extension_for_transformers_tpu.trainer.configs import (
     TrainingArguments,
 )
 from intel_extension_for_transformers_tpu.trainer.dpo import DPOTrainer
+from intel_extension_for_transformers_tpu.trainer.ppo import (
+    PPOConfig,
+    PPOTrainer,
+    value_head_init,
+)
 from intel_extension_for_transformers_tpu.trainer.finetuning import (
     Finetuning,
     pack_text_dataset,
@@ -31,7 +36,10 @@ __all__ = [
     "LoraConfig",
     "NLPSeq2SeqTrainer",
     "NLPTrainer",
+    "PPOConfig",
+    "PPOTrainer",
     "PruningConfig",
+    "value_head_init",
     "TrainingArguments",
     "attach_lora",
     "causal_lm_loss",

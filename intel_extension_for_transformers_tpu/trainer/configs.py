@@ -22,6 +22,7 @@ class TrainingArguments:
     gradient_accumulation_steps: int = 1
     warmup_steps: int = 0
     logging_steps: int = 10
+    save_steps: int = 0  # >0: orbax checkpoint every N steps to output_dir
     seed: int = 0
     max_grad_norm: float = 1.0
     bf16: bool = True  # compute dtype for activations

@@ -163,7 +163,9 @@ class NLPTrainer:
 
         return tx, step
 
-    def _run(self, loss_fn, trainable, hook=None) -> tuple[Any, float]:
+    def _run(
+        self, loss_fn, trainable, hook=None, resume_from_checkpoint=None
+    ) -> tuple[Any, float]:
         """Generic loop: returns (trained trainable-tree, last loss)."""
         a = self.args
         tx, step = self._make_step(loss_fn)
@@ -171,6 +173,13 @@ class NLPTrainer:
         # copy once so the CALLER's arrays are never invalidated
         trainable = jax.tree.map(jnp.copy, trainable)
         opt_state = tx.init(trainable)
+        start_step = 0
+        if resume_from_checkpoint:
+            trainable, opt_state, start_step = self._restore(
+                resume_from_checkpoint, trainable, opt_state
+            )
+            logger.info("resumed from %s at step %d", resume_from_checkpoint,
+                        start_step)
         it = _batch_iterator(
             self.train_dataset,
             a.per_device_train_batch_size,
@@ -179,25 +188,70 @@ class NLPTrainer:
             a.seed,
         )
         t0 = time.time()
-        loss_val, gstep = float("nan"), 0
+        loss_val, gstep = float("nan"), start_step
         for batch in it:
+            if a.max_steps > 0 and gstep >= a.max_steps:
+                break  # max_steps is a GLOBAL budget (resume continues it)
             batch = self._shard_batch(batch)
             trainable, opt_state, loss = step(trainable, opt_state, batch)
             gstep += 1
             if hook is not None:
                 trainable = hook(gstep, trainable)
-            if gstep % a.logging_steps == 0 or gstep == 1:
+            if gstep % a.logging_steps == 0 or gstep == start_step + 1:
                 loss_val = float(loss)
                 rec = {"step": gstep, "loss": loss_val, "time": time.time() - t0}
                 self.log_history.append(rec)
                 logger.info("step %d loss %.4f", gstep, loss_val)
+            if (
+                a.save_steps > 0
+                and a.output_dir
+                and gstep % a.save_steps == 0
+            ):
+                self._save(a.output_dir, trainable, opt_state, gstep)
         if math.isnan(loss_val):
-            loss_val = float(loss) if gstep else float("nan")
+            loss_val = float(loss) if gstep > start_step else float("nan")
+        if a.save_steps > 0 and a.output_dir and gstep > start_step:
+            self._save(a.output_dir, trainable, opt_state, gstep)
         return trainable, loss_val, gstep
 
+    # ----------------------------------------------- checkpoint / resume
+    # (reference: HF resume_from_checkpoint passthrough, trainer.py:146-152;
+    #  here orbax — the TPU-native checkpoint layer)
+    def _ckpt_dir(self, output_dir: str) -> str:
+        import os
+
+        return os.path.abspath(os.path.join(output_dir, "checkpoint"))
+
+    def _save(self, output_dir: str, trainable, opt_state, step: int) -> None:
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_dir(output_dir)
+        with ocp.PyTreeCheckpointer() as ck:
+            ck.save(
+                path,
+                {"trainable": trainable, "opt_state": opt_state,
+                 "step": step},
+                force=True,
+            )
+        logger.info("checkpoint saved: %s (step %d)", path, step)
+
+    def _restore(self, path_or_dir: str, trainable, opt_state):
+        import os
+
+        import orbax.checkpoint as ocp
+
+        path = path_or_dir
+        if os.path.isdir(os.path.join(path_or_dir, "checkpoint")):
+            path = self._ckpt_dir(path_or_dir)
+        template = {"trainable": trainable, "opt_state": opt_state, "step": 0}
+        with ocp.PyTreeCheckpointer() as ck:
+            got = ck.restore(os.path.abspath(path), item=template)
+        return got["trainable"], got["opt_state"], int(got["step"])
+
     # ------------------------------------------------------------ train
-    def train(self) -> TrainOutput:
-        """Full-parameter causal-LM training (reference: trainer.py:428)."""
+    def train(self, resume_from_checkpoint: Optional[str] = None) -> TrainOutput:
+        """Full-parameter causal-LM training (reference: trainer.py:428;
+        resume_from_checkpoint restores params+optimizer+step)."""
 
         def loss_fn(params, batch):
             logits = self.apply_fn(
@@ -207,7 +261,9 @@ class NLPTrainer:
                 logits, batch["input_ids"], batch.get("attention_mask")
             )
 
-        params, loss, steps = self._run(loss_fn, self.params)
+        params, loss, steps = self._run(
+            loss_fn, self.params, resume_from_checkpoint=resume_from_checkpoint
+        )
         self.params = params
         return TrainOutput(params, steps, loss, self.log_history)
 
