@@ -88,10 +88,49 @@ def shard_params(params, param_axes, mesh: Mesh, rules=None):
     """
 
     def _place(p, axes):
+        if _is_packed(p):
+            return _shard_packed(p, axes, mesh, rules)
         if axes is None:
             return jax.device_put(p, replicate(mesh))
         return jax.device_put(p, logical_to_sharding(axes, mesh, rules))
 
     return jax.tree.map(
-        _place, params, param_axes, is_leaf=lambda x: x is None
+        _place,
+        params,
+        param_axes,
+        is_leaf=lambda x: x is None or _is_packed(x),
     )
+
+
+def _is_packed(x) -> bool:
+    return type(x).__name__ in ("QuantizedTensor", "W8A8Tensor")
+
+
+def _shard_packed(qt, axes, mesh: Mesh, rules):
+    """Shard a packed quantized weight: the output (N) dim follows the
+    kernel's second logical axis; the K dim stays replicated (int4 packing
+    and scale groups straddle K, so K-sharding would split groups). scales/
+    zeros/w_scale follow N; pre_scale/act_scale replicate."""
+    import dataclasses
+
+    n_axis = axes[1] if axes is not None and len(axes) > 1 else None
+    two_d = logical_to_sharding((None, n_axis), mesh, rules)
+    one_d_n = logical_to_sharding((n_axis,), mesh, rules)
+    rep = replicate(mesh)
+
+    def put(v, sh):
+        return None if v is None else jax.device_put(v, sh)
+
+    fields = {}
+    for f in dataclasses.fields(qt):
+        fields[f.name] = getattr(qt, f.name)
+    fields["data"] = put(fields["data"], two_d)
+    if "scales" in fields:  # QuantizedTensor
+        fields["scales"] = put(fields["scales"], two_d)
+        fields["zeros"] = put(fields["zeros"], two_d)
+        fields["pre_scale"] = put(fields["pre_scale"], rep)
+    else:  # W8A8Tensor
+        fields["w_scale"] = put(fields["w_scale"], one_d_n)
+        fields["act_scale"] = put(fields["act_scale"], rep)
+        fields["pre_scale"] = put(fields["pre_scale"], rep)
+    return type(qt)(**fields)

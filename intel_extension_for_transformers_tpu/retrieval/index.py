@@ -192,7 +192,10 @@ class FlatIndex:
     # -- persistence (reference: Chroma persist/reload, chroma.py:118-238) --
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
-        arrays = {"vectors": np.asarray(self._vectors[: self.size])}
+        vec = self._vectors[: self.size]
+        if vec.dtype == jnp.bfloat16:  # numpy has no bf16; store f32
+            vec = vec.astype(jnp.float32)
+        arrays = {"vectors": np.asarray(vec)}
         if self._scales is not None:
             arrays["scales"] = np.asarray(self._scales[: self.size])
         np.savez(os.path.join(path, "index.npz"), **arrays)
@@ -216,7 +219,9 @@ class FlatIndex:
         idx = cls(meta["dim"], meta["dtype"], meta["metric"], capacity=max(meta["size"], 8))
         n = meta["size"]
         idx._vectors = jax.lax.dynamic_update_slice(
-            idx._vectors, jnp.asarray(npz["vectors"]), (0, 0)
+            idx._vectors,
+            jnp.asarray(npz["vectors"]).astype(idx._vectors.dtype),
+            (0, 0),
         )
         if idx._scales is not None and "scales" in npz:
             idx._scales = jax.lax.dynamic_update_slice(
