@@ -224,8 +224,15 @@ class ChatApp:
 
     # ---------------------------------------------------------- routing
     def route(self, method: str, path: str, body: Optional[dict]):
-        """→ (status, payload). payload is a dict (JSON) or a generator
-        (SSE stream)."""
+        """→ (status, payload). payload is a dict (JSON), a generator
+        (SSE stream), or an ("html", str) tuple."""
+        if method == "GET" and path in ("/", "/ui"):
+            # built-in browser chat page (the gradio-frontend analogue)
+            from intel_extension_for_transformers_tpu.neural_chat.ui import (
+                CHAT_HTML,
+            )
+
+            return 200, ("html", CHAT_HTML)
         if method == "GET" and path == "/health":
             return self.handle_health()
         if method == "GET" and path == "/v1/models" and "models" in self.api_list:
@@ -294,6 +301,13 @@ class _Handler(BaseHTTPRequestHandler):
             return
         if isinstance(payload, dict):
             self._send_json(status, payload)
+        elif isinstance(payload, tuple) and payload[0] == "html":
+            data = payload[1].encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
         else:
             self._send_sse(payload)
 

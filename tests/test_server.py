@@ -151,3 +151,14 @@ def test_cli_parser():
     assert args.command == "predict"
     args = p.parse_args(["serve", "--port", "9999"])
     assert args.port == 9999
+
+
+def test_chat_ui_page(server):
+    conn = HTTPConnection("127.0.0.1", server.port)
+    conn.request("GET", "/")
+    r = conn.getresponse()
+    assert r.status == 200
+    assert "text/html" in r.headers["Content-Type"]
+    body = r.read().decode()
+    assert "/v1/chat/completions" in body and "NeuralChat" in body
+    conn.close()
