@@ -28,16 +28,31 @@ import numpy as np
 BASELINES_MS = {"gptj": 21.56, "mpt": 34.76, "falcon": 35.84, "llama2": None}
 
 
+_KEY = [0]
+
+
+def _next_key():
+    import jax
+
+    _KEY[0] += 1
+    return jax.random.PRNGKey(_KEY[0])
+
+
 def random_qt(rng, K, N, group_size=128):
+    """Random packed weight generated ON DEVICE (uploading GBs of random
+    bytes through the TPU relay would dominate the benchmark's setup)."""
+    import jax
     import jax.numpy as jnp
 
     from intel_extension_for_transformers_tpu.ops.packing import QuantizedTensor
 
-    data = rng.integers(0, 256, size=(K // 2, N), dtype=np.uint8).astype(np.int8)
-    scales = (rng.random((K // group_size, N)).astype(np.float32)) * 0.02 + 0.005
+    k1, k2 = jax.random.split(_next_key())
+    data = jax.random.randint(k1, (K // 2, N), -128, 128, jnp.int8)
+    scales = jax.random.uniform(k2, (K // group_size, N), jnp.float32,
+                                0.005, 0.025)
     return QuantizedTensor(
-        data=jnp.asarray(data),
-        scales=jnp.asarray(scales),
+        data=data,
+        scales=scales,
         zeros=None,
         weight_dtype="int4",
         scheme="sym",
@@ -57,7 +72,9 @@ def build_params(config, rng, group_size=128, dtype="bfloat16"):
     nh, nkv = config.num_attention_heads, config.num_key_value_heads
 
     def arr(*shape, scale=0.02):
-        return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * scale, dt)
+        import jax
+
+        return jax.random.normal(_next_key(), shape, dt) * scale
 
     def lin(K, N, bias):
         p = {"kernel": random_qt(rng, K, N, group_size)}

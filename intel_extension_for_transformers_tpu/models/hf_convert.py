@@ -116,6 +116,33 @@ def llama_params_from_hf(hf_model) -> tuple[dict, "LlamaConfig"]:
 
     for li in range(config.num_hidden_layers):
         p = f"{pre}layers.{li}."
+        if config.num_local_experts > 0:
+            # Mixtral MoE block: gate router + stacked expert w1/w3/w2
+            moe = p + "block_sparse_moe."
+            E = config.num_local_experts
+            mlp = {
+                "router": {"kernel": jnp.asarray(_np(sd[moe + "gate.weight"]).T)},
+                "experts": {
+                    "gate": jnp.stack(
+                        [jnp.asarray(_np(sd[f"{moe}experts.{j}.w1.weight"]).T)
+                         for j in range(E)]
+                    ),
+                    "up": jnp.stack(
+                        [jnp.asarray(_np(sd[f"{moe}experts.{j}.w3.weight"]).T)
+                         for j in range(E)]
+                    ),
+                    "down": jnp.stack(
+                        [jnp.asarray(_np(sd[f"{moe}experts.{j}.w2.weight"]).T)
+                         for j in range(E)]
+                    ),
+                },
+            }
+        else:
+            mlp = {
+                "gate": _lin(sd, p + "mlp.gate_proj"),
+                "up": _lin(sd, p + "mlp.up_proj"),
+                "down": _lin(sd, p + "mlp.down_proj"),
+            }
         params["layers"].append(
             {
                 "input_norm": jnp.asarray(_np(sd[p + "input_layernorm.weight"])),
@@ -128,11 +155,7 @@ def llama_params_from_hf(hf_model) -> tuple[dict, "LlamaConfig"]:
                 "post_norm": jnp.asarray(
                     _np(sd[p + "post_attention_layernorm.weight"])
                 ),
-                "mlp": {
-                    "gate": _lin(sd, p + "mlp.gate_proj"),
-                    "up": _lin(sd, p + "mlp.up_proj"),
-                    "down": _lin(sd, p + "mlp.down_proj"),
-                },
+                "mlp": mlp,
             }
         )
     return params, config

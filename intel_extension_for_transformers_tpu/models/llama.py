@@ -46,6 +46,9 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = False
+    # Mixture-of-Experts (Mixtral family): 0 = dense MLP
+    num_local_experts: int = 0
+    num_experts_per_tok: int = 2
 
     @property
     def head_dim(self) -> int:
@@ -70,6 +73,21 @@ class LlamaConfig:
         return cls()
 
     @classmethod
+    def mixtral_8x7b(cls):
+        return cls(
+            vocab_size=32000,
+            hidden_size=4096,
+            num_hidden_layers=32,
+            num_attention_heads=32,
+            num_key_value_heads=8,
+            intermediate_size=14336,
+            max_position_embeddings=32768,
+            rope_theta=1e6,
+            num_local_experts=8,
+            num_experts_per_tok=2,
+        )
+
+    @classmethod
     def llama3_8b(cls):
         return cls(
             vocab_size=128256,
@@ -82,6 +100,8 @@ class LlamaConfig:
 
 def llama_config_from_hf(hf_config) -> LlamaConfig:
     return LlamaConfig(
+        num_local_experts=getattr(hf_config, "num_local_experts", 0),
+        num_experts_per_tok=getattr(hf_config, "num_experts_per_tok", 2),
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.hidden_size,
         num_hidden_layers=hf_config.num_hidden_layers,
@@ -112,7 +132,23 @@ def llama_init_params(rng: jax.Array, config: LlamaConfig) -> dict:
         "lm_head": _linear_init(keys[1], h, config.vocab_size),
     }
     for li in range(config.num_hidden_layers):
-        lk = jax.random.split(keys[2 + li], 7)
+        lk = jax.random.split(keys[2 + li], 8)
+        i_sz, E = config.intermediate_size, config.num_local_experts
+        if E > 0:  # Mixtral MoE block: stacked per-expert projections
+            mlp = {
+                "router": _linear_init(lk[4], h, E),
+                "experts": {
+                    "gate": jax.random.normal(lk[5], (E, h, i_sz)) * 0.02,
+                    "up": jax.random.normal(lk[6], (E, h, i_sz)) * 0.02,
+                    "down": jax.random.normal(lk[7], (E, i_sz, h)) * 0.02,
+                },
+            }
+        else:
+            mlp = {
+                "gate": _linear_init(lk[4], h, i_sz),
+                "up": _linear_init(lk[5], h, i_sz),
+                "down": _linear_init(lk[6], i_sz, h),
+            }
         params["layers"].append(
             {
                 "input_norm": jnp.ones((h,), jnp.float32),
@@ -123,11 +159,7 @@ def llama_init_params(rng: jax.Array, config: LlamaConfig) -> dict:
                     "o": _linear_init(lk[3], h, h),
                 },
                 "post_norm": jnp.ones((h,), jnp.float32),
-                "mlp": {
-                    "gate": _linear_init(lk[4], h, config.intermediate_size),
-                    "up": _linear_init(lk[5], h, config.intermediate_size),
-                    "down": _linear_init(lk[6], config.intermediate_size, h),
-                },
+                "mlp": mlp,
             }
         )
     return params
@@ -143,11 +175,22 @@ def llama_param_axes(config: LlamaConfig) -> dict:
             "o": {"kernel": ("heads", "embed")},
         },
         "post_norm": None,
-        "mlp": {
-            "gate": {"kernel": ("embed", "mlp")},
-            "up": {"kernel": ("embed", "mlp")},
-            "down": {"kernel": ("mlp", "embed")},
-        },
+        "mlp": (
+            {
+                "router": {"kernel": None},
+                "experts": {
+                    "gate": ("expert", "embed", "mlp"),
+                    "up": ("expert", "embed", "mlp"),
+                    "down": ("expert", "mlp", "embed"),
+                },
+            }
+            if config.num_local_experts > 0
+            else {
+                "gate": {"kernel": ("embed", "mlp")},
+                "up": {"kernel": ("embed", "mlp")},
+                "down": {"kernel": ("mlp", "embed")},
+            }
+        ),
     }
     return {
         "embed_tokens": ("vocab", "embed"),
@@ -228,9 +271,58 @@ def _decoder_layer(layer, x, config: LlamaConfig, cos, sin, mask, cache_k,
 
     mlp = layer["mlp"]
     xn = rms_norm(x, layer["post_norm"], config.rms_norm_eps)
-    y = silu(dense(xn, mlp["gate"]["kernel"])) * dense(xn, mlp["up"]["kernel"])
-    x = x + dense(y, mlp["down"]["kernel"])
+    if "router" in mlp:  # Mixture-of-Experts block (Mixtral family)
+        x = x + _moe_mlp(mlp, xn, config)
+    else:
+        y = silu(dense(xn, mlp["gate"]["kernel"])) * dense(xn, mlp["up"]["kernel"])
+        x = x + dense(y, mlp["down"]["kernel"])
     return x, cache_k, cache_v
+
+
+def _moe_mlp(mlp, x, config: LlamaConfig):
+    """Top-k routed expert MLP via grouped (ragged) matmuls.
+
+    Reference coverage: Mixtral support (gaudi port modeling_gaudi/models/
+    mixtral + neural-speed mixtral graph). TPU-native execution: tokens are
+    SORTED by assigned expert and each expert's contiguous run hits the MXU
+    through one `lax.ragged_dot` per projection — compute is Σ tokens·k, not
+    tokens·E (no dense all-experts waste, no capacity-overflow drops)."""
+    B, T, H = x.shape
+    E, k = config.num_local_experts, config.num_experts_per_tok
+    xt = x.reshape(-1, H)
+    M = xt.shape[0]
+
+    router_logits = dense(xt, mlp["router"]["kernel"]).astype(jnp.float32)
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    weights, experts = jax.lax.top_k(probs, k)  # (M, k)
+    weights = weights / jnp.maximum(
+        jnp.sum(weights, axis=-1, keepdims=True), 1e-9
+    )  # renormalize over the selected experts (Mixtral)
+
+    flat_expert = experts.reshape(-1)  # (M·k,)
+    order = jnp.argsort(flat_expert)  # group tokens by expert
+    token_of = order // k  # source token per sorted slot
+    xs = jnp.take(xt, token_of, axis=0)  # (M·k, H)
+    group_sizes = jnp.bincount(flat_expert, length=E).astype(jnp.int32)
+
+    ex = mlp["experts"]
+    g = jax.lax.ragged_dot(
+        xs, ex["gate"].astype(x.dtype), group_sizes,
+        preferred_element_type=jnp.float32,
+    )
+    u = jax.lax.ragged_dot(
+        xs, ex["up"].astype(x.dtype), group_sizes,
+        preferred_element_type=jnp.float32,
+    )
+    y = (jax.nn.silu(g) * u).astype(x.dtype)
+    y = jax.lax.ragged_dot(
+        y, ex["down"].astype(x.dtype), group_sizes,
+        preferred_element_type=jnp.float32,
+    )  # (M·k, H) f32
+
+    w_sorted = jnp.take(weights.reshape(-1), order)  # routing weight per slot
+    out = jnp.zeros((M, H), jnp.float32).at[token_of].add(y * w_sorted[:, None])
+    return out.astype(x.dtype).reshape(B, T, H)
 
 
 @partial(jax.jit, static_argnames=("config",))

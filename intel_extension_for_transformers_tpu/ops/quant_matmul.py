@@ -11,11 +11,10 @@ packed int4/int8/nf4/fp4 with group scales — is implemented two ways:
    kernels/src/cpu/kernels/mha_dense_ref.cpp) and the fallback path.
 2. `woq_matmul`: a Pallas TPU kernel that never materializes the dequantized
    weight in HBM. Per (M,N)-tile it streams packed int4 blocks into VMEM,
-   runs one MXU matmul per quantization group in the activation dtype, and
-   applies the group scale to the (TM, TN) partial — so the scale broadcast
-   is O(TM*TN) on the VPU instead of O(TK*TN) on the dequantized weight.
-   Asymmetric zero points become a rank-1 correction using the per-group row
-   sums of the activations.
+   dequantizes the tile on the VPU with the per-group scales (and zero
+   points) folded in, and runs ONE (TM,TK)·(TK,TN) MXU dot per K-step —
+   per-group mini-dots would leave the MXU pipeline idle at decode sizes.
+   Ragged N (vocab heads) is tile-padded, never a fallback.
 
 The 4-bit half-split layout (see ops/packing.py) means the low and high
 nibbles are independent K-slices: the kernel reads the activation tile twice
@@ -110,34 +109,35 @@ def _woq_kernel_4bit(
     lo, hi = _decode_nibbles(packed, signed=signed)
 
     tk = w_ref.shape[0]
+    tn = w_ref.shape[1]
     n_groups = tk // group_size
     acc = acc_ref[:]
+    # Fold the per-group scales (and zero points) into the dequantized tile
+    # on the VPU, then ONE (TM, TK)·(TK, TN) MXU dot per half — per-group
+    # mini-dots would leave the MXU pipeline mostly idle at decode sizes.
     for half, (plane, x_ref) in enumerate(((lo, x_lo_ref), (hi, x_hi_ref))):
         if codebook is not None:
             qvals = _codebook_lookup(plane, codebook).astype(compute_dtype)
         else:
             qvals = plane.astype(compute_dtype)
-        for gi in range(n_groups):
-            sl = slice(gi * group_size, (gi + 1) * group_size)
-            xg = x_ref[:, sl].astype(compute_dtype)  # (TM, gs)
-            qg = qvals[sl, :]  # (gs, TN)
-            partial = jax.lax.dot(
-                xg,
-                qg,
-                precision=(
-                    jax.lax.Precision.HIGHEST
-                    if compute_dtype == jnp.float32
-                    else jax.lax.Precision.DEFAULT
-                ),
-                preferred_element_type=jnp.float32,
-            )  # (TM, TN)
-            row = half * groups_per_half + k * n_groups + gi
-            scale = s_ref[pl.ds(row, 1), :].astype(jnp.float32)  # (1, TN)
-            acc = acc + partial * scale
-            if scheme == "asym":
-                zp = z_ref[pl.ds(row, 1), :].astype(jnp.float32)  # (1, TN)
-                xsum = jnp.sum(x_ref[:, sl].astype(jnp.float32), axis=1)  # (TM,)
-                acc = acc - xsum[:, None] * (scale * zp)
+        base = half * groups_per_half + k * n_groups
+        srows = s_ref[pl.ds(base, n_groups), :].astype(compute_dtype)
+        q3 = qvals.reshape(n_groups, group_size, tn)
+        if scheme == "asym":
+            zrows = z_ref[pl.ds(base, n_groups), :].astype(compute_dtype)
+            w_deq = ((q3 - zrows[:, None, :]) * srows[:, None, :]).reshape(tk, tn)
+        else:
+            w_deq = (q3 * srows[:, None, :]).reshape(tk, tn)
+        acc = acc + jax.lax.dot(
+            x_ref[:].astype(compute_dtype),
+            w_deq,
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if compute_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            ),
+            preferred_element_type=jnp.float32,
+        )
     acc_ref[:] = acc
 
     @pl.when(k == num_k_steps - 1)
@@ -169,28 +169,28 @@ def _woq_kernel_8bit(
         q = q & 0xFF  # stored as wrapped uint8
     qvals = q.astype(compute_dtype)
     tk = w_ref.shape[0]
+    tn = w_ref.shape[1]
     n_groups = tk // group_size
     acc = acc_ref[:]
-    for gi in range(n_groups):
-        sl = slice(gi * group_size, (gi + 1) * group_size)
-        xg = x_ref[:, sl].astype(compute_dtype)
-        partial = jax.lax.dot(
-            xg,
-            qvals[sl, :],
-            precision=(
-                jax.lax.Precision.HIGHEST
-                if compute_dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT
-            ),
-            preferred_element_type=jnp.float32,
-        )
-        row = k * n_groups + gi
-        scale = s_ref[pl.ds(row, 1), :].astype(jnp.float32)  # (1, TN)
-        acc = acc + partial * scale
-        if scheme == "asym":
-            zp = z_ref[pl.ds(row, 1), :].astype(jnp.float32)
-            xsum = jnp.sum(x_ref[:, sl].astype(jnp.float32), axis=1)
-            acc = acc - xsum[:, None] * (scale * zp)
+    # scale-on-weight + single MXU dot per K-step (see the 4-bit kernel)
+    base = k * n_groups
+    srows = s_ref[pl.ds(base, n_groups), :].astype(compute_dtype)
+    q3 = qvals.reshape(n_groups, group_size, tn)
+    if scheme == "asym":
+        zrows = z_ref[pl.ds(base, n_groups), :].astype(compute_dtype)
+        w_deq = ((q3 - zrows[:, None, :]) * srows[:, None, :]).reshape(tk, tn)
+    else:
+        w_deq = (q3 * srows[:, None, :]).reshape(tk, tn)
+    acc = acc + jax.lax.dot(
+        x_ref[:].astype(compute_dtype),
+        w_deq,
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        ),
+        preferred_element_type=jnp.float32,
+    )
     acc_ref[:] = acc
 
     @pl.when(k == num_k_steps - 1)
@@ -258,15 +258,24 @@ def _pallas_woq(x, qt: QuantizedTensor, out_dtype, interpret):
     if not has_z:
         zeros = jnp.zeros((1, N), qt.scales.dtype)
 
+    data, scales = qt.data, qt.scales
+
     if qt.bits == 4:
         K2 = K // 2
         tm, tn, tk = _pick_tiles(M, N, K2, g)
-        if N % tn or K2 % tk or tk % g:
+        if K2 % tk or tk % g:
             return woq_matmul_ref(x, qt, out_dtype)
+        # pad ragged N (e.g. vocab sizes) to the tile; XLA hoists the pad out
+        # of decode loops, and zero scale columns dequantize to zero
+        Np = _round_up(N, tn)
+        if Np != N:
+            data = jnp.pad(data, ((0, 0), (0, Np - N)))
+            scales = jnp.pad(scales, ((0, 0), (0, Np - N)))
+            zeros = jnp.pad(zeros, ((0, 0), (0, Np - N)))
         Mp = _round_up(M, tm)
         if Mp != M:
             x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
-        grid = (Mp // tm, N // tn, K2 // tk)
+        grid = (Mp // tm, Np // tn, K2 // tk)
         sg = tk // g  # scale rows per K-step
         G2 = K2 // g  # groups per half; hi scales start at block row G2 // sg
 
@@ -283,7 +292,7 @@ def _pallas_woq(x, qt: QuantizedTensor, out_dtype, interpret):
             codebook=cb,
             compute_dtype=compute_dtype,
         )
-        G_total = qt.scales.shape[0]
+        G_total = scales.shape[0]
         Gz = zeros.shape[0]
         out = pl.pallas_call(
             kernel,
@@ -313,7 +322,7 @@ def _pallas_woq(x, qt: QuantizedTensor, out_dtype, interpret):
             out_specs=pl.BlockSpec(
                 (tm, tn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+            out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
             scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
@@ -324,15 +333,20 @@ def _pallas_woq(x, qt: QuantizedTensor, out_dtype, interpret):
                 + Mp * N * jnp.dtype(out_dtype).itemsize,
                 transcendentals=0,
             ),
-        )(x2, x2, qt.data, qt.scales, zeros)
+        )(x2, x2, data, scales, zeros)
     else:
         tm, tn, tk = _pick_tiles(M, N, K, g)
-        if N % tn or K % tk or tk % g:
+        if K % tk or tk % g:
             return woq_matmul_ref(x, qt, out_dtype)
+        Np = _round_up(N, tn)
+        if Np != N:
+            data = jnp.pad(data, ((0, 0), (0, Np - N)))
+            scales = jnp.pad(scales, ((0, 0), (0, Np - N)))
+            zeros = jnp.pad(zeros, ((0, 0), (0, Np - N)))
         Mp = _round_up(M, tm)
         if Mp != M:
             x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
-        grid = (Mp // tm, N // tn, K // tk)
+        grid = (Mp // tm, Np // tn, K // tk)
         sg = tk // g
         kernel = functools.partial(
             _woq_kernel_8bit,
@@ -341,7 +355,7 @@ def _pallas_woq(x, qt: QuantizedTensor, out_dtype, interpret):
             scheme=qt.scheme,
             compute_dtype=compute_dtype,
         )
-        G_total = qt.scales.shape[0]
+        G_total = scales.shape[0]
         Gz = zeros.shape[0]
         out = pl.pallas_call(
             kernel,
@@ -363,7 +377,7 @@ def _pallas_woq(x, qt: QuantizedTensor, out_dtype, interpret):
             out_specs=pl.BlockSpec(
                 (tm, tn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+            out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
             scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
@@ -371,10 +385,12 @@ def _pallas_woq(x, qt: QuantizedTensor, out_dtype, interpret):
                 bytes_accessed=Mp * K * x2.dtype.itemsize + K * N,
                 transcendentals=0,
             ),
-        )(x2, qt.data, qt.scales, zeros)
+        )(x2, data, scales, zeros)
 
     if out.shape[0] != M:
         out = out[:M]
+    if out.shape[1] != N:
+        out = out[:, :N]
     return out.reshape(*batch_shape, N)
 
 

@@ -122,11 +122,10 @@ def benchmark_generation(
 ) -> Dict[str, BenchmarkResult]:
     """Decode-path benchmark: prefill latency + per-token decode throughput
     (the reference's first-token / next-token split, docs/release_data.md)."""
-    from intel_extension_for_transformers_tpu.models.llama import (
-        init_kv_cache,
-        llama_apply,
-    )
+    from intel_extension_for_transformers_tpu.models.llama import init_kv_cache
+    from intel_extension_for_transformers_tpu.models.registry import get_apply_fn
 
+    llama_apply = get_apply_fn(model_config)  # works for every decoder family
     cfg = config or BenchmarkConfig()
     B, T = cfg.batch_size, cfg.seq_len
     S = T + cfg.generate_tokens
@@ -136,15 +135,15 @@ def benchmark_generation(
     )
 
     @jax.jit
-    def prefill(ids):
+    def prefill(params, ids):  # params as an ARGUMENT, never a captured const
         cache = init_kv_cache(model_config, B, S)
         logits, cache = llama_apply(params, model_config, ids, cache)
         return logits[:, -1], cache
 
-    logits, cache0 = prefill(ids)
-    jax.block_until_ready(logits)
+    logits, cache0 = prefill(params, ids)
+    float(logits[0, 0])  # scalar readback: block_until_ready can lie via relays
     prefill_res = benchmark_callable(
-        lambda: jax.block_until_ready(prefill(ids)),
+        lambda: float(prefill(params, ids)[0][0, 0]),
         warmup=cfg.warmup,
         iteration=cfg.iteration,
         items_per_call=B * T,
@@ -153,17 +152,25 @@ def benchmark_generation(
 
     tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    def decode_step(i, state):
-        tok, cache = state
-        logits, cache = llama_apply(params, model_config, tok[:, None], cache)
-        return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+    @jax.jit
+    def decode_loop(params, tok, cache):
+        def step(i, state):
+            tok, cache = state
+            logits, cache = llama_apply(params, model_config, tok[:, None], cache)
+            return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
 
-    decode_res = benchmark_fused(
-        decode_step,
-        (tok0, cache0),
-        iters=cfg.generate_tokens,
-        items_per_iter=B,
-        unit="decode tokens/s",
+        return jax.lax.fori_loop(0, cfg.generate_tokens, step, (tok, cache))
+
+    out = decode_loop(params, tok0, cache0)  # compile + warmup
+    _ = int(out[0][0])  # scalar readback: fully drain before timing
+    t0 = time.perf_counter()
+    out = decode_loop(params, tok0, cache0)
+    _ = int(out[0][0])  # the final token depends on every step → full sync
+    dt = time.perf_counter() - t0
+    per = dt / cfg.generate_tokens * 1e3
+    decode_res = BenchmarkResult(
+        latency_ms=per, p50_ms=per, p90_ms=per, p99_ms=per,
+        throughput=B / (per / 1e3), unit="decode tokens/s",
     )
     return {"prefill": prefill_res, "decode": decode_res}
 
