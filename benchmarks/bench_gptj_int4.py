@@ -178,7 +178,13 @@ def main():
 
     rng = np.random.default_rng(0)
     t0 = time.time()
-    params = build_params(config, rng)
+    # group size must divide every half-split K (falcon's 4544 needs 32)
+    gs = next(
+        g for g in (128, 64, 32)
+        if (config.hidden_size // 2) % g == 0
+        and (config.intermediate_size // 2) % g == 0
+    )
+    params = build_params(config, rng, group_size=gs)
     print(f"built int4 {args.arch} params in {time.time()-t0:.0f}s",
           file=sys.stderr)
 
@@ -196,7 +202,7 @@ def main():
     decode_ms = res["decode"].latency_ms / args.batch
     base = BASELINES_MS[args.arch]
     print(json.dumps({
-        "metric": f"{args.arch}_int4_g128_next_token_latency",
+        "metric": f"{args.arch}_int4_g{gs}_next_token_latency",
         "value": round(decode_ms, 3),
         "unit": "ms",
         "vs_baseline": round(base / decode_ms, 3) if base else None,

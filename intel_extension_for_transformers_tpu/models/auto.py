@@ -62,7 +62,7 @@ _ENCODER_TYPES = {"bert", "roberta", "bge", "minilm"}
 _LLAMA_TYPES = {"llama", "mistral", "qwen2"}  # llama-architecture family
 # generic-decoder families (models/decoder.py; reference model_type menu
 # modeling_auto.py:325-347)
-_GENERIC_TYPES = {"gptj", "gpt_neox", "opt", "bloom", "mpt", "falcon", "phi"}
+_GENERIC_TYPES = {"gptj", "gpt_neox", "opt", "bloom", "mpt", "falcon", "phi", "gpt_bigcode"}
 
 
 def _config_to_dict(cfg) -> dict:

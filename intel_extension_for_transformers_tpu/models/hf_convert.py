@@ -570,3 +570,61 @@ _DECODER_CONVERTERS = {
     "falcon": _convert_falcon,
     "phi": _convert_phi,
 }
+
+
+def _convert_gpt_bigcode(hc, sd):
+    from intel_extension_for_transformers_tpu.models.decoder import DecoderConfig
+
+    nh = hc.n_head
+    hd = hc.n_embd // nh
+    multi_query = getattr(hc, "multi_query", True)
+    nkv = 1 if multi_query else nh
+    config = DecoderConfig(
+        model_type="gpt_bigcode",
+        vocab_size=hc.vocab_size,
+        hidden_size=hc.n_embd,
+        num_hidden_layers=hc.n_layer,
+        num_attention_heads=nh,
+        num_key_value_heads=nkv,
+        intermediate_size=getattr(hc, "n_inner", None) or 4 * hc.n_embd,
+        max_position_embeddings=hc.n_positions,
+        pos_embedding="learned",
+        activation=_act_of(hc, "gelu_new"),
+        tie_word_embeddings=True,
+        norm_eps=hc.layer_norm_epsilon,
+    )
+    pre = "transformer."
+    params = {
+        "embed_tokens": jnp.asarray(_np(sd[pre + "wte.weight"])),
+        "pos_embed": jnp.asarray(_np(sd[pre + "wpe.weight"])),
+        "layers": [],
+        "final_norm": _norm_p(sd, pre + "ln_f"),
+        "lm_head": {"kernel": jnp.asarray(_np(sd[pre + "wte.weight"]).T)},
+    }
+    H = hc.n_embd
+    for li in range(config.num_hidden_layers):
+        p = f"{pre}h.{li}."
+        w = _np(sd[p + "attn.c_attn.weight"])  # rows: [q (H), k (hd·nkv), v]
+        b = _np(sd[p + "attn.c_attn.bias"])
+        q_w, k_w, v_w = w[:H], w[H : H + nkv * hd], w[H + nkv * hd :]
+        q_b, k_b, v_b = b[:H], b[H : H + nkv * hd], b[H + nkv * hd :]
+        params["layers"].append(
+            {
+                "ln1": _norm_p(sd, p + "ln_1"),
+                "ln2": _norm_p(sd, p + "ln_2"),
+                "attention": {
+                    "q": {"kernel": jnp.asarray(q_w.T), "bias": jnp.asarray(q_b)},
+                    "k": {"kernel": jnp.asarray(k_w.T), "bias": jnp.asarray(k_b)},
+                    "v": {"kernel": jnp.asarray(v_w.T), "bias": jnp.asarray(v_b)},
+                    "o": _lin(sd, p + "attn.c_proj"),
+                },
+                "mlp": {
+                    "up": _lin(sd, p + "mlp.c_fc"),
+                    "down": _lin(sd, p + "mlp.c_proj"),
+                },
+            }
+        )
+    return params, config
+
+
+_DECODER_CONVERTERS["gpt_bigcode"] = _convert_gpt_bigcode

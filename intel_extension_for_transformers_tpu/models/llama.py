@@ -241,9 +241,10 @@ def _decoder_layer(layer, x, config: LlamaConfig, cos, sin, mask, cache_k,
 
     att = layer["attention"]
     xn = rms_norm(x, layer["input_norm"], config.rms_norm_eps)
-    q = dense(xn, att["q"]["kernel"]).reshape(B, T, nh, hd)
-    k = dense(xn, att["k"]["kernel"]).reshape(B, T, nkv, hd)
-    v = dense(xn, att["v"]["kernel"]).reshape(B, T, nkv, hd)
+    # .get("bias"): Qwen2-style checkpoints carry QKV biases, Llama does not
+    q = dense(xn, att["q"]["kernel"], att["q"].get("bias")).reshape(B, T, nh, hd)
+    k = dense(xn, att["k"]["kernel"], att["k"].get("bias")).reshape(B, T, nkv, hd)
+    v = dense(xn, att["v"]["kernel"], att["v"].get("bias")).reshape(B, T, nkv, hd)
     q = apply_rotary(q, cos, sin)
     k = apply_rotary(k, cos, sin)
 

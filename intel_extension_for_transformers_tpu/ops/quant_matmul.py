@@ -120,11 +120,27 @@ def _woq_kernel_4bit(
             qvals = _codebook_lookup(plane, codebook).astype(compute_dtype)
         else:
             qvals = plane.astype(compute_dtype)
-        base = half * groups_per_half + k * n_groups
-        srows = s_ref[pl.ds(base, n_groups), :].astype(compute_dtype)
+        if num_k_steps == 1:
+            # k == 0: STATIC slice — works at any group alignment
+            b0 = half * groups_per_half
+            srows = s_ref[b0 : b0 + n_groups, :].astype(compute_dtype)
+            zrows = (
+                z_ref[b0 : b0 + n_groups, :].astype(compute_dtype)
+                if scheme == "asym"
+                else None
+            )
+        else:
+            # dynamic offsets: per-step group counts are 8-aligned by
+            # construction (_pick_tiles), so Mosaic can prove alignment
+            base = half * groups_per_half + k * n_groups
+            srows = s_ref[pl.ds(base, n_groups), :].astype(compute_dtype)
+            zrows = (
+                z_ref[pl.ds(base, n_groups), :].astype(compute_dtype)
+                if scheme == "asym"
+                else None
+            )
         q3 = qvals.reshape(n_groups, group_size, tn)
         if scheme == "asym":
-            zrows = z_ref[pl.ds(base, n_groups), :].astype(compute_dtype)
             w_deq = ((q3 - zrows[:, None, :]) * srows[:, None, :]).reshape(tk, tn)
         else:
             w_deq = (q3 * srows[:, None, :]).reshape(tk, tn)
@@ -173,11 +189,23 @@ def _woq_kernel_8bit(
     n_groups = tk // group_size
     acc = acc_ref[:]
     # scale-on-weight + single MXU dot per K-step (see the 4-bit kernel)
-    base = k * n_groups
-    srows = s_ref[pl.ds(base, n_groups), :].astype(compute_dtype)
+    if num_k_steps == 1:
+        srows = s_ref[0:n_groups, :].astype(compute_dtype)
+        zrows = (
+            z_ref[0:n_groups, :].astype(compute_dtype)
+            if scheme == "asym"
+            else None
+        )
+    else:
+        base = k * n_groups
+        srows = s_ref[pl.ds(base, n_groups), :].astype(compute_dtype)
+        zrows = (
+            z_ref[pl.ds(base, n_groups), :].astype(compute_dtype)
+            if scheme == "asym"
+            else None
+        )
     q3 = qvals.reshape(n_groups, group_size, tn)
     if scheme == "asym":
-        zrows = z_ref[pl.ds(base, n_groups), :].astype(compute_dtype)
         w_deq = ((q3 - zrows[:, None, :]) * srows[:, None, :]).reshape(tk, tn)
     else:
         w_deq = (q3 * srows[:, None, :]).reshape(tk, tn)
@@ -205,11 +233,25 @@ def _round_up(x: int, m: int) -> int:
 def _pick_tiles(M: int, N: int, K_eff: int, g: int):
     tm = min(_round_up(max(M, 1), 8), 256)
     tn = 256 if N % 256 == 0 else 128
-    # K tile must be a multiple of the group size (and of 128 for MXU).
+    # K tile must be a multiple of the group size (and ideally of 128).
     base = max(g, 128)
+    def whole_k_or_bail():
+        # single K-step: scale offsets become STATIC (any alignment works)
+        if K_eff % g == 0 and K_eff * max(tn, 256) <= 4 * 1024 * 1024:
+            return tm, tn, K_eff
+        return tm, tn, 0  # caller falls back to the XLA ref path
+
+    if K_eff % base:
+        # unfriendly K (e.g. Falcon's 4544, small encoder hiddens)
+        return whole_k_or_bail()
     tk = base
     while tk * 2 <= 2048 and K_eff % (tk * 2) == 0:
         tk *= 2
+    if (tk // g) % 8 and tk != K_eff:
+        # multi-step grids dynamic-slice the scale rows, and Mosaic requires
+        # provably 8-aligned row offsets — per-step group counts that are not
+        # a multiple of 8 must run as one whole-K step instead
+        return whole_k_or_bail()
     return tm, tn, tk
 
 
@@ -253,17 +295,19 @@ def _pallas_woq(x, qt: QuantizedTensor, out_dtype, interpret):
     N = qt.N
     compute_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
 
-    zeros = qt.zeros
-    has_z = zeros is not None
-    if not has_z:
-        zeros = jnp.zeros((1, N), qt.scales.dtype)
-
-    data, scales = qt.data, qt.scales
+    # f32 scale rows: bf16 refs have (16, 128) min tiles, which breaks the
+    # odd-offset scale slices small models produce
+    data, scales = qt.data, qt.scales.astype(jnp.float32)
+    zeros = (
+        jnp.zeros((1, N), jnp.float32)
+        if qt.zeros is None
+        else qt.zeros.astype(jnp.float32)
+    )
 
     if qt.bits == 4:
         K2 = K // 2
         tm, tn, tk = _pick_tiles(M, N, K2, g)
-        if K2 % tk or tk % g:
+        if tk == 0 or K2 % tk or tk % g:
             return woq_matmul_ref(x, qt, out_dtype)
         # pad ragged N (e.g. vocab sizes) to the tile; XLA hoists the pad out
         # of decode loops, and zero scale columns dequantize to zero
@@ -298,15 +342,14 @@ def _pallas_woq(x, qt: QuantizedTensor, out_dtype, interpret):
             kernel,
             grid=grid,
             in_specs=[
-                # activation tile over the low-nibble K-slice [0, K2)
+                # low/high-nibble activation K-slices, PRE-SPLIT so that a
+                # whole-K block (unfriendly K like Falcon's 4544) is legal:
+                # Pallas allows a block dim equal to the full array dim
                 pl.BlockSpec(
                     (tm, tk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM
                 ),
-                # activation tile over the high-nibble K-slice [K2, K)
                 pl.BlockSpec(
-                    (tm, tk),
-                    lambda i, j, k: (i, K2 // tk + k),
-                    memory_space=pltpu.VMEM,
+                    (tm, tk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
                     (tk, tn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
@@ -333,10 +376,10 @@ def _pallas_woq(x, qt: QuantizedTensor, out_dtype, interpret):
                 + Mp * N * jnp.dtype(out_dtype).itemsize,
                 transcendentals=0,
             ),
-        )(x2, x2, data, scales, zeros)
+        )(x2[:, :K2], x2[:, K2:], data, scales, zeros)
     else:
         tm, tn, tk = _pick_tiles(M, N, K, g)
-        if K % tk or tk % g:
+        if tk == 0 or K % tk or tk % g:
             return woq_matmul_ref(x, qt, out_dtype)
         Np = _round_up(N, tn)
         if Np != N:

@@ -203,3 +203,53 @@ def test_auto_model_generic_family_roundtrip(tmp_path):
     assert r.config.model_type == "gptj"
     b, _ = r(ids)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_gpt_bigcode_parity():
+    cfg = hf.GPTBigCodeConfig(
+        vocab_size=128, n_embd=64, n_head=4, n_layer=2, n_positions=64,
+        multi_query=True,
+    )
+    torch.manual_seed(0)
+    _parity(hf.GPTBigCodeForCausalLM(cfg))
+
+
+def _llama_family_parity(hf_model):
+    from intel_extension_for_transformers_tpu.models.hf_convert import (
+        llama_params_from_hf,
+    )
+    from intel_extension_for_transformers_tpu.models.llama import llama_apply
+
+    hf_model.eval()
+    params, config = llama_params_from_hf(hf_model)
+    ids = np.random.default_rng(0).integers(0, config.vocab_size, (2, 12))
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(ids)).logits.float().numpy()
+    got = np.asarray(
+        llama_apply(params, config, jnp.asarray(ids, jnp.int32))[0], np.float32
+    )
+    err = np.abs(
+        (ref - ref.max(-1, keepdims=True)) - (got - got.max(-1, keepdims=True))
+    ).max()
+    assert err < 0.05, err
+
+
+def test_mistral_parity():
+    cfg = hf.MistralConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+        max_position_embeddings=64, sliding_window=None,
+    )
+    torch.manual_seed(0)
+    _llama_family_parity(hf.MistralForCausalLM(cfg))
+
+
+def test_qwen2_parity():
+    """Qwen2 = llama arch + QKV biases — pins the bias path."""
+    cfg = hf.Qwen2Config(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+        max_position_embeddings=64,
+    )
+    torch.manual_seed(0)
+    _llama_family_parity(hf.Qwen2ForCausalLM(cfg))
