@@ -110,6 +110,7 @@ class NLPTrainer:
         eval_dataset=None,
         trainable_filter: Optional[Callable[[Any], Any]] = None,
         mesh=None,
+        param_axes: Any = None,  # logical axes → params (+opt state) shard
     ):
         self.params = params
         self.model_config = model_config
@@ -117,7 +118,22 @@ class NLPTrainer:
         self.train_dataset = train_dataset
         self.eval_dataset = eval_dataset
         self.mesh = mesh
+        self.param_axes = param_axes
         self.log_history: list = []
+        if mesh is not None and param_axes is not None:
+            # ZeRO-style: params placed by their logical axes (tp/fsdp rules);
+            # optimizer moments inherit the same sharding from tx.init, so
+            # grads/updates stay distributed — the deepspeed-zero analogue
+            # (reference: finetuning.py:415-417) with XLA collectives
+            from intel_extension_for_transformers_tpu.parallel import (
+                shard_params,
+            )
+
+            rules = None
+            if "fsdp" in mesh.shape and mesh.shape["fsdp"] > 1:
+                # shard the stacked (input) dim of every kernel over fsdp
+                rules = {"embed": "fsdp"}
+            self.params = shard_params(params, param_axes, mesh, rules=rules)
 
         if apply_fn is None:
             from intel_extension_for_transformers_tpu.models.llama import llama_apply

@@ -239,3 +239,26 @@ def test_finetuning_end_to_end(params, tmp_path):
     )
     loaded, _ = load_adapter(cfg.output_dir)
     assert loaded["layers"][0]["attention"]["q"]["a"].shape[1] == lora_cfg.r
+
+
+def test_fsdp_sharded_training(params, dataset):
+    """ZeRO-style training: params AND optimizer state sharded over
+    fsdp×tp, batch over dp — loss decreases and shards stay distributed."""
+    from intel_extension_for_transformers_tpu.models.llama import (
+        llama_param_axes,
+    )
+    from intel_extension_for_transformers_tpu.parallel import create_mesh
+
+    mesh = create_mesh(dp=2, fsdp=2, tp=2)
+    tr = NLPTrainer(
+        params, CFG, args=_args(max_steps=6), train_dataset=dataset,
+        mesh=mesh, param_axes=llama_param_axes(CFG),
+    )
+    k = tr.params["layers"][0]["mlp"]["gate"]["kernel"]
+    assert not k.sharding.is_fully_replicated  # fsdp/tp actually sharded
+    before = tr.evaluate(dataset)["eval_loss"]
+    out = tr.train()
+    after = tr.evaluate(dataset)["eval_loss"]
+    assert after < before
+    k2 = out.params["layers"][0]["mlp"]["gate"]["kernel"]
+    assert not k2.sharding.is_fully_replicated  # stays sharded through train
