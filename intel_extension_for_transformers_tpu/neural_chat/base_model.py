@@ -41,6 +41,8 @@ class BaseModel:
         self.generation_config = GenerationConfig()
         self.conv_template = None
         self.kv_policy = None
+        self.assistant = None  # (params, config) draft for speculative decode
+        self.spec_k = 4
 
     # -- loading ---------------------------------------------------------
     def load_model(self, kwargs: dict) -> None:
@@ -77,6 +79,25 @@ class BaseModel:
             self.params = self.optimize(loading.optimization_config)
         if loading.tensor_parallel > 1 or loading.world_size > 1:
             self.shard(dp=loading.world_size, tp=loading.tensor_parallel)
+
+        # speculative-decoding draft model (reference: assistant_model path,
+        # model_utils.py:503-516)
+        self.assistant = None
+        self.spec_k = loading.spec_k
+        if loading.assistant_model is not None:
+            if isinstance(loading.assistant_model, tuple):
+                self.assistant = loading.assistant_model  # (params, config)
+            else:
+                import transformers
+
+                from intel_extension_for_transformers_tpu.models.hf_convert import (
+                    llama_params_from_hf,
+                )
+
+                hf_d = transformers.AutoModelForCausalLM.from_pretrained(
+                    loading.assistant_model
+                )
+                self.assistant = llama_params_from_hf(hf_d)
         self.conv_template = get_conv_template(self.model_name)
 
     def optimize(self, optimization_config):
@@ -179,15 +200,41 @@ class BaseModel:
         ids = self._encode_prompt(prompt)
         sampling = config.to_sampling_config(self._eos_id)
         try:
-            token_iter = generate_stream(
-                self.params,
-                self.model_config,
-                ids,
-                sampling,
-                max_cache_length=config.cache_max_length,
-                seed=config.seed,
-                kv_policy=self.kv_policy,
-            )
+            if self.assistant is not None and self.kv_policy is None:
+                # assistant-model speculative decoding (reference:
+                # model_utils.py:503) — draft proposes, target verifies
+                from intel_extension_for_transformers_tpu.models.speculative import (
+                    generate_speculative_stream,
+                )
+
+                d_params, d_config = self.assistant
+                chunks = generate_speculative_stream(
+                    self.params,
+                    self.model_config,
+                    d_params,
+                    d_config,
+                    ids,
+                    sampling,
+                    spec_k=self.spec_k,
+                    seed=config.seed,
+                )
+
+                def _per_token(chunks=chunks):
+                    for chunk in chunks:
+                        for t in np.asarray(chunk).reshape(-1):
+                            yield np.asarray([t], np.int32)
+
+                token_iter = _per_token()
+            else:
+                token_iter = generate_stream(
+                    self.params,
+                    self.model_config,
+                    ids,
+                    sampling,
+                    max_cache_length=config.cache_max_length,
+                    seed=config.seed,
+                    kv_policy=self.kv_policy,
+                )
             pieces = []
             for delta in detokenize_stream(token_iter, self.tokenizer):
                 pieces.append(delta)

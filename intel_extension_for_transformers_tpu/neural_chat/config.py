@@ -56,6 +56,10 @@ class LoadingModelConfig:
     cache_dtype: str = "bfloat16"
     # test/offline injection: preloaded (params, model_config, tokenizer)
     preloaded: Optional[tuple] = None
+    # speculative decoding draft (reference: assistant_model,
+    # model_utils.py:503): HF name/path, or preloaded (params, model_config)
+    assistant_model: Any = None
+    spec_k: int = 4  # draft tokens proposed per verification round
 
 
 @dataclass

@@ -167,3 +167,36 @@ def test_conv_templates():
     conv.append_message(conv.roles[0], "hi")
     conv.append_message(conv.roles[1], "")
     assert "hi" in conv.get_prompt()
+
+
+def test_assistant_model_speculative_chat(tiny_llama):
+    """Chatbot with an assistant (draft) model: greedy output must equal the
+    plain path exactly (reference: assistant_model, model_utils.py:503)."""
+    params, config, tok = tiny_llama
+    gen = GenerationConfig(
+        max_new_tokens=8, do_sample=False, temperature=0.0,
+        repetition_penalty=1.0,
+    )
+    plain = build_chatbot(
+        PipelineConfig(
+            model_name_or_path="tiny-llama-test",
+            loading_config=LoadingModelConfig(preloaded=(params, config, tok)),
+            generation_config=gen,
+        )
+    )
+    ref = plain.predict("hello there")
+    reset_plugins()
+    spec = build_chatbot(
+        PipelineConfig(
+            model_name_or_path="tiny-llama-test",
+            loading_config=LoadingModelConfig(
+                preloaded=(params, config, tok),
+                assistant_model=(params, config),  # self-draft: all accepted
+                spec_k=3,
+            ),
+            generation_config=gen,
+        )
+    )
+    assert spec.assistant is not None
+    out = spec.predict("hello there")
+    assert out == ref
