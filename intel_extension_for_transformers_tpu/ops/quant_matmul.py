@@ -367,6 +367,9 @@ def _pallas_woq(x, qt: QuantizedTensor, out_dtype, interpret):
             ),
             out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
             scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=2 * Mp * N * K,
@@ -422,6 +425,9 @@ def _pallas_woq(x, qt: QuantizedTensor, out_dtype, interpret):
             ),
             out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
             scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=2 * Mp * N * K,
