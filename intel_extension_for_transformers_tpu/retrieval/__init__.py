@@ -2,6 +2,13 @@ from intel_extension_for_transformers_tpu.retrieval.index import (
     FlatIndex,
     IVFIndex,
     ShardedFlatIndex,
+    ShardedIVFIndex,
+)
+from intel_extension_for_transformers_tpu.retrieval.synthetic import (
+    clustered_embeddings,
+    gaussian_embeddings,
+    exact_topk,
+    recall_at_k,
 )
 from intel_extension_for_transformers_tpu.retrieval.splitter import (
     RecursiveCharacterTextSplitter,
@@ -24,6 +31,11 @@ __all__ = [
     "FlatIndex",
     "IVFIndex",
     "ShardedFlatIndex",
+    "ShardedIVFIndex",
+    "clustered_embeddings",
+    "gaussian_embeddings",
+    "exact_topk",
+    "recall_at_k",
     "RecursiveCharacterTextSplitter",
     "DocumentParser",
     "BM25Retriever",
