@@ -1,0 +1,381 @@
+"""Continuous-batching decode engine: slot-based join/leave generation.
+
+The reference answers serving concurrency by adopting vLLM
+(reference: transformers/modeling/modeling_auto.py:364-533) — this stack owns
+its engine, so it implements the core idea natively on the XLA execution
+model:
+
+- A fixed pool of B decode *slots* shares ONE jitted decode step — a
+  `vmap` over per-slot KV caches of the same per-family apply fn the rest of
+  the stack uses (`models/registry.get_apply_fn`), so every decoder family
+  (llama/mistral/qwen2/gptj/mpt/falcon/...) gets continuous batching for
+  free. Per-slot cache lengths (a mapped `KVCache.length`) give every slot
+  its own position stream — the static-shape analogue of vLLM's paged
+  attention bookkeeping.
+- Requests JOIN by prefilling into a single-slot cache (prompt padded to a
+  length bucket — the Gaudi-port bucketing idea, modeling_gaudi
+  generation/utils.py:88-110 — so the prefill program set stays small) and
+  scattering it into the batched cache at a free slot. Right-padding is
+  correct without masks: pad keys sit at positions > the true last token,
+  and the causal position mask already excludes them.
+- Slots LEAVE on EOS / max_new_tokens; the freed slot is re-assigned to the
+  next queued request. Inactive slots still step (masked, static shapes) —
+  the XLA-friendly trade: no recompiles, ~zero marginal cost at small B.
+- Per-slot sampling: temperature / top-k / top-p / repetition-penalty are
+  ARRAYS, so one compiled step serves heterogeneous requests.
+
+The host loop runs in one background thread; callers get a thread-safe
+iterator of tokens. Aggregate throughput ≈ the batch-B decode number (the
+1.62 ms/token batch-8 measurement in BENCHMARKS.md) instead of B × the
+single-stream latency the round-1 lock gave.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import Iterator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from intel_extension_for_transformers_tpu.models.registry import get_apply_fn
+from intel_extension_for_transformers_tpu.models.llama import init_kv_cache
+
+
+# --------------------------- batched sampling ---------------------------
+
+
+def sample_logits_per_slot(
+    logits: jax.Array,  # (B, V) f32
+    rng: jax.Array,
+    temperature: jax.Array,  # (B,)
+    top_k: jax.Array,  # (B,) int32, 0 = off
+    top_p: jax.Array,  # (B,) in (0, 1], 1 = off
+    do_sample: jax.Array,  # (B,) bool
+    rep_penalty: jax.Array,  # (B,), 1 = off
+    seen: jax.Array,  # (B, V) bool
+) -> jax.Array:
+    """Vectorized per-slot sampler (each row has its own knobs)."""
+    logits = logits.astype(jnp.float32)
+    rp = rep_penalty[:, None]
+    penalized = jnp.where(logits > 0, logits / rp, logits * rp)
+    logits = jnp.where(seen & (rp != 1.0), penalized, logits)
+
+    greedy = jnp.argmax(logits, axis=-1)
+
+    scaled = logits / jnp.maximum(temperature[:, None], 1e-6)
+    sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]  # (B, V)
+    V = logits.shape[-1]
+    # top-k: threshold at the k-th largest (k=0 → no threshold)
+    k_idx = jnp.clip(top_k - 1, 0, V - 1)
+    kth = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=-1)
+    thresh_k = jnp.where(top_k[:, None] > 0, kth, -jnp.inf)
+    # top-p: smallest prefix of sorted probs with cumsum ≥ p (≥1 kept)
+    probs = jax.nn.softmax(sorted_desc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.sum(cum < top_p[:, None], axis=-1, keepdims=True)
+    cutoff = jnp.take_along_axis(sorted_desc, jnp.minimum(cutoff_idx, V - 1), axis=-1)
+    thresh_p = jnp.where(top_p[:, None] < 1.0, cutoff, -jnp.inf)
+
+    filtered = jnp.where(
+        scaled < jnp.maximum(thresh_k, thresh_p), -jnp.inf, scaled
+    )
+    sampled = jax.random.categorical(rng, filtered, axis=-1)
+    return jnp.where(do_sample, sampled, greedy).astype(jnp.int32)
+
+
+# ----------------------------- jitted steps -----------------------------
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _engine_step(
+    params, config, cache, tokens, rng,
+    temperature, top_k, top_p, do_sample, rep_penalty, seen,
+):
+    """One decode step for all slots: vmapped apply + per-slot sampling."""
+    apply_fn = get_apply_fn(config)
+
+    def one(cache_slot, tok):
+        logits, new_cache = apply_fn(params, config, tok[None, None], cache_slot)
+        return logits[0, -1], new_cache
+
+    logits, cache = jax.vmap(one)(cache, tokens)  # (B, V)
+    rng, sub = jax.random.split(rng)
+    nxt = sample_logits_per_slot(
+        logits, sub, temperature, top_k, top_p, do_sample, rep_penalty, seen
+    )
+    seen = seen | jax.nn.one_hot(nxt, seen.shape[-1], dtype=jnp.bool_)
+    return nxt, cache, rng, seen
+
+
+@partial(jax.jit, static_argnames=("config", "max_len"))
+def _engine_prefill(params, config, ids, true_len, max_len: int):
+    """Prefill ONE request into a fresh single-slot cache.
+
+    ids: (1, T_bucket) right-padded. Right-pad needs no attention mask: real
+    token at position q attends keys ≤ q, and pads sit at positions > q.
+    → (last_real_logits (V,), slot cache with length = true_len, seen (V,)).
+    """
+    apply_fn = get_apply_fn(config)
+    cache = init_kv_cache(config, 1, max_len)
+    logits, cache = apply_fn(params, config, ids, cache)
+    last = logits[0, true_len - 1].astype(jnp.float32)
+    cache = replace(cache, length=true_len.astype(cache.length.dtype))
+    pos = jnp.arange(ids.shape[1])
+    seen = (
+        jax.nn.one_hot(ids[0], logits.shape[-1], dtype=jnp.bool_)
+        & (pos < true_len)[:, None]
+    ).any(axis=0)
+    return last, cache, seen
+
+
+@jax.jit
+def _insert_slot(batch_cache, slot_cache, slot, seen_all, seen_row):
+    """Scatter a prefilled single-slot cache into the batched cache."""
+    new_k = [
+        jax.lax.dynamic_update_slice(bk, sk[None].astype(bk.dtype), (slot, 0, 0, 0, 0))
+        for bk, sk in zip(batch_cache.k, slot_cache.k)
+    ]
+    new_v = [
+        jax.lax.dynamic_update_slice(bv, sv[None].astype(bv.dtype), (slot, 0, 0, 0, 0))
+        for bv, sv in zip(batch_cache.v, slot_cache.v)
+    ]
+    length = jax.lax.dynamic_update_slice(
+        batch_cache.length, slot_cache.length[None], (slot,)
+    )
+    seen_all = jax.lax.dynamic_update_slice(
+        seen_all, seen_row[None], (slot, jnp.int32(0))
+    )
+    return replace(batch_cache, k=new_k, v=new_v, length=length), seen_all
+
+
+@jax.jit
+def _first_token(last_logits, rng, cfg_arrays, seen_row):
+    temperature, top_k, top_p, do_sample, rep = cfg_arrays
+    tok = sample_logits_per_slot(
+        last_logits[None],
+        rng,
+        temperature[None],
+        top_k[None],
+        top_p[None],
+        do_sample[None],
+        rep[None],
+        seen_row[None],
+    )[0]
+    return tok, seen_row | jax.nn.one_hot(tok, seen_row.shape[0], dtype=jnp.bool_)
+
+
+# ------------------------------ the engine ------------------------------
+
+
+@dataclass
+class EngineRequest:
+    prompt_ids: np.ndarray  # (T,) int32
+    max_new_tokens: int = 128
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 1.0
+    do_sample: bool = False
+    repetition_penalty: float = 1.0
+    eos_token_id: Optional[int] = None
+    out: "queue.Queue" = field(default_factory=queue.Queue)
+
+    _DONE = object()
+
+    def tokens(self) -> Iterator[int]:
+        """Blocking iterator over generated token ids."""
+        while True:
+            item = self.out.get()
+            if item is EngineRequest._DONE:
+                return
+            yield item
+
+
+class DecodeEngine:
+    """Slot-based continuous-batching generation engine (module docstring)."""
+
+    def __init__(
+        self,
+        params,
+        config,
+        *,
+        max_slots: int = 8,
+        max_len: int = 1024,
+        prompt_buckets: tuple[int, ...] = (32, 64, 128, 256, 512),
+        seed: int = 0,
+    ):
+        self.params = params
+        self.config = config
+        self.max_slots = max_slots
+        self.max_len = max_len
+        self.prompt_buckets = tuple(sorted(prompt_buckets))
+        V = config.vocab_size
+
+        # batched per-slot state (slot axis 0 on every leaf)
+        base = init_kv_cache(config, 1, max_len)
+        self._cache = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (max_slots,) + x.shape).copy()
+            if hasattr(x, "shape") and x.ndim
+            else jnp.zeros((max_slots,), jnp.int32),
+            base,
+        )
+        self._tokens = jnp.zeros((max_slots,), jnp.int32)
+        self._seen = jnp.zeros((max_slots, V), jnp.bool_)
+        self._rng = jax.random.PRNGKey(seed)
+        # per-slot sampling knobs (host mirrors; device arrays rebuilt on join)
+        self._temp = np.ones((max_slots,), np.float32)
+        self._topk = np.zeros((max_slots,), np.int32)
+        self._topp = np.ones((max_slots,), np.float32)
+        self._dos = np.zeros((max_slots,), bool)
+        self._rep = np.ones((max_slots,), np.float32)
+
+        self._slots: list[Optional[EngineRequest]] = [None] * max_slots
+        self._emitted = np.zeros((max_slots,), np.int64)
+        self._pending: "queue.Queue[EngineRequest]" = queue.Queue()
+        self._wake = threading.Event()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._steps = 0  # decode steps executed (for tests/metrics)
+
+    # ------------------------------ public ------------------------------
+
+    def start(self) -> "DecodeEngine":
+        if self._thread is None or not self._thread.is_alive():
+            self._stop.clear()
+            self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._wake.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    def submit(self, request: EngineRequest) -> EngineRequest:
+        """Enqueue a request; its `tokens()` iterator starts yielding as soon
+        as a slot frees up. Thread-safe."""
+        request.prompt_ids = np.asarray(request.prompt_ids, np.int32).reshape(-1)
+        if len(request.prompt_ids) >= self.max_len:
+            raise ValueError(
+                f"prompt length {len(request.prompt_ids)} ≥ max_len {self.max_len}"
+            )
+        self._pending.put(request)
+        self._wake.set()
+        return request
+
+    @property
+    def active_slots(self) -> int:
+        return sum(s is not None for s in self._slots)
+
+    # ------------------------------ internals ------------------------------
+
+    def _bucket(self, t: int) -> int:
+        for b in self.prompt_buckets:
+            if t <= b and b < self.max_len:
+                return b
+        b = max(self.prompt_buckets)
+        while b < t:  # prompts beyond the bucket menu: double, never truncate
+            b *= 2
+        return min(b, self.max_len - 1)
+
+    def _admit(self, req: EngineRequest, slot: int) -> None:
+        ids = np.asarray(req.prompt_ids, np.int32).reshape(-1)
+        t = len(ids)
+        bucket = self._bucket(t)
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, : min(t, bucket)] = ids[:bucket]
+        true_len = jnp.int32(min(t, bucket))
+        last, slot_cache, seen_row = _engine_prefill(
+            self.params, self.config, jnp.asarray(padded), true_len, self.max_len
+        )
+        self._temp[slot] = req.temperature
+        self._topk[slot] = req.top_k
+        self._topp[slot] = req.top_p
+        self._dos[slot] = req.do_sample
+        self._rep[slot] = req.repetition_penalty
+        self._rng, sub = jax.random.split(self._rng)
+        cfg_arrays = (
+            jnp.float32(req.temperature),
+            jnp.int32(req.top_k),
+            jnp.float32(req.top_p),
+            jnp.bool_(req.do_sample),
+            jnp.float32(req.repetition_penalty),
+        )
+        tok, seen_row = _first_token(last, sub, cfg_arrays, seen_row)
+        self._cache, self._seen = _insert_slot(
+            self._cache, slot_cache, jnp.int32(slot), self._seen, seen_row
+        )
+        self._tokens = self._tokens.at[slot].set(tok)
+        self._slots[slot] = req
+        self._emitted[slot] = 0
+        # the prefill already produced the first token — emit it now
+        self._emit(slot, int(tok))
+
+    def _emit(self, slot: int, token: int) -> None:
+        req = self._slots[slot]
+        if req is None:
+            return
+        done = False
+        if req.eos_token_id is not None and token == req.eos_token_id:
+            done = True
+        else:
+            req.out.put(token)
+            self._emitted[slot] += 1
+            if self._emitted[slot] >= req.max_new_tokens:
+                done = True
+        # slot position exhaustion: cache is full
+        if not done and self._emitted[slot] + len(req.prompt_ids) >= self.max_len - 1:
+            done = True
+        if done:
+            req.out.put(EngineRequest._DONE)
+            self._slots[slot] = None
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            # admit pending requests into free slots
+            admitted = False
+            for slot in range(self.max_slots):
+                if self._slots[slot] is None:
+                    try:
+                        req = self._pending.get_nowait()
+                    except queue.Empty:
+                        break
+                    self._admit(req, slot)
+                    admitted = True
+            if not any(s is not None for s in self._slots):
+                if not admitted:
+                    self._wake.wait(timeout=0.05)
+                    self._wake.clear()
+                continue
+            # one decode step for the whole pool
+            self._tokens, self._cache, self._rng, self._seen = _engine_step(
+                self.params,
+                self.config,
+                self._cache,
+                self._tokens,
+                self._rng,
+                jnp.asarray(self._temp),
+                jnp.asarray(self._topk),
+                jnp.asarray(self._topp),
+                jnp.asarray(self._dos),
+                jnp.asarray(self._rep),
+                self._seen,
+            )
+            self._steps += 1
+            toks = np.asarray(self._tokens)
+            for slot in range(self.max_slots):
+                if self._slots[slot] is not None:
+                    self._emit(slot, int(toks[slot]))
+
+    # ----------------------------- conveniences -----------------------------
+
+    def generate(self, prompt_ids, **kw) -> list[int]:
+        """Blocking single request → list of token ids."""
+        req = self.submit(EngineRequest(np.asarray(prompt_ids, np.int32), **kw))
+        return list(req.tokens())

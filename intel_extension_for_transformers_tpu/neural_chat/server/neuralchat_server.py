@@ -76,6 +76,12 @@ def _merge_generation_config(
     return dataclasses.replace(base, **kw)
 
 
+def _locked_iter(lock, it):
+    """Drain an iterator while holding a lock (single-stream fallback)."""
+    with lock:
+        yield from it
+
+
 def _messages_to_query(messages) -> str:
     """Render an OpenAI message list into the chatbot query. The last user
     message is the query; prior turns are prepended as a transcript
@@ -92,13 +98,50 @@ def _messages_to_query(messages) -> str:
 
 
 class ChatApp:
-    """Routes + handlers bound to one chatbot instance."""
+    """Routes + handlers bound to one chatbot instance.
 
-    def __init__(self, chatbot, model_name: str, api_list=None):
+    With `engine` set (a models.engine.DecodeEngine), generation is
+    continuous-batched: N concurrent requests share the slot pool and decode
+    together — the native answer to the reference's vLLM adoption
+    (modeling_auto.py:364-533). Without it, requests serialize on a lock."""
+
+    def __init__(self, chatbot, model_name: str, api_list=None, engine=None):
         self.chatbot = chatbot
         self.model_name = model_name
         self.api_list = list(api_list or DEFAULT_API_LIST)
+        self.engine = engine
         self._gen_lock = threading.Lock()
+
+    # ------------------------------ engine path ------------------------------
+    def _engine_submit(self, query: str, cfg: GenerationConfig):
+        from intel_extension_for_transformers_tpu.models.engine import (
+            EngineRequest,
+        )
+
+        ids = self.chatbot._encode_prompt(query)
+        req = EngineRequest(
+            prompt_ids=ids,
+            max_new_tokens=cfg.max_new_tokens,
+            temperature=cfg.temperature,
+            top_k=cfg.top_k,
+            top_p=cfg.top_p,
+            do_sample=cfg.do_sample,
+            repetition_penalty=cfg.repetition_penalty,
+            eos_token_id=self.chatbot._eos_id,
+        )
+        return self.engine.submit(req)
+
+    def _engine_text_stream(self, query: str, cfg: GenerationConfig):
+        """→ iterator of text deltas from the shared decode pool."""
+        import numpy as np
+
+        from intel_extension_for_transformers_tpu.models.generation import (
+            detokenize_stream,
+        )
+
+        req = self._engine_submit(query, cfg)
+        token_arrays = (np.array([t]) for t in req.tokens())
+        return detokenize_stream(token_arrays, self.chatbot.tokenizer)
 
     # ---------------------------------------------------------- helpers
     def _count_tokens(self, text: str) -> int:
@@ -127,8 +170,11 @@ class ChatApp:
         query = _messages_to_query(req.messages)
         if req.stream:
             return 200, self._chat_stream(query, cfg)
-        with self._gen_lock:
-            text = self.chatbot.predict(query, cfg)
+        if self.engine is not None:
+            text = "".join(self._engine_text_stream(query, cfg))
+        else:
+            with self._gen_lock:
+                text = self.chatbot.predict(query, cfg)
         usage = UsageInfo(
             prompt_tokens=self._count_tokens(query),
             completion_tokens=self._count_tokens(text),
@@ -159,18 +205,22 @@ class ChatApp:
                 ],
             )
             yield f"data: {json.dumps(asdict_clean(first))}\n\n"
-            with self._gen_lock:
-                for delta in self.chatbot.predict_stream(query, cfg):
-                    chunk = ChatCompletionChunk(
-                        id=chunk_id,
-                        model=self.model_name,
-                        choices=[
-                            ChatCompletionChunkChoice(
-                                index=0, delta=DeltaMessage(content=delta)
-                            )
-                        ],
-                    )
-                    yield f"data: {json.dumps(asdict_clean(chunk))}\n\n"
+            if self.engine is not None:
+                deltas = self._engine_text_stream(query, cfg)
+            else:
+                deltas = _locked_iter(self._gen_lock,
+                                      self.chatbot.predict_stream(query, cfg))
+            for delta in deltas:
+                chunk = ChatCompletionChunk(
+                    id=chunk_id,
+                    model=self.model_name,
+                    choices=[
+                        ChatCompletionChunkChoice(
+                            index=0, delta=DeltaMessage(content=delta)
+                        )
+                    ],
+                )
+                yield f"data: {json.dumps(asdict_clean(chunk))}\n\n"
             last = ChatCompletionChunk(
                 id=chunk_id,
                 model=self.model_name,
@@ -194,9 +244,16 @@ class ChatApp:
                 return 400, ErrorResponse("stream needs exactly 1 prompt").to_body()
             return 200, self._completion_stream(prompts[0], cfg)
         choices, usage = [], UsageInfo()
-        for i, p in enumerate(prompts):
-            with self._gen_lock:
-                text = self.chatbot.predict(p, cfg)
+        if self.engine is not None:
+            # multi-prompt completions decode CONCURRENTLY in the slot pool
+            streams = [self._engine_text_stream(p, cfg) for p in prompts]
+            texts = ["".join(s) for s in streams]
+        else:
+            texts = []
+            for p in prompts:
+                with self._gen_lock:
+                    texts.append(self.chatbot.predict(p, cfg))
+        for i, (p, text) in enumerate(zip(prompts, texts)):
             choices.append(CompletionChoice(index=i, text=text))
             usage.prompt_tokens += self._count_tokens(p)
             usage.completion_tokens += self._count_tokens(text)
@@ -208,16 +265,20 @@ class ChatApp:
         resp_id = CompletionResponse(model=self.model_name).id
 
         def events():
-            with self._gen_lock:
-                for delta in self.chatbot.predict_stream(prompt, cfg):
-                    chunk = CompletionResponse(
-                        id=resp_id,
-                        model=self.model_name,
-                        choices=[
-                            CompletionChoice(index=0, text=delta, finish_reason=None)
-                        ],
-                    )
-                    yield f"data: {json.dumps(asdict_clean(chunk))}\n\n"
+            if self.engine is not None:
+                deltas = self._engine_text_stream(prompt, cfg)
+            else:
+                deltas = _locked_iter(self._gen_lock,
+                                      self.chatbot.predict_stream(prompt, cfg))
+            for delta in deltas:
+                chunk = CompletionResponse(
+                    id=resp_id,
+                    model=self.model_name,
+                    choices=[
+                        CompletionChoice(index=0, text=delta, finish_reason=None)
+                    ],
+                )
+                yield f"data: {json.dumps(asdict_clean(chunk))}\n\n"
             yield "data: [DONE]\n\n"
 
         return events()
@@ -332,6 +393,7 @@ class NeuralChatServerExecutor:
         self.chatbot = None
         self.app: Optional[ChatApp] = None
         self.server = None
+        self.engine = None
         self.host = "0.0.0.0"
         self.port = 8000
 
@@ -355,10 +417,41 @@ class NeuralChatServerExecutor:
         self.chatbot = config.get("_prebuilt_chatbot") or build_chatbot(pipeline)
         if self.chatbot is None:
             return False
+        engine = None
+        serving = config.get("serving_config") or {}
+        if serving.get("continuous_batching"):
+            engine = self._build_engine(serving)
         self.app = ChatApp(
-            self.chatbot, pipeline.model_name_or_path, api_list=api_list
+            self.chatbot,
+            pipeline.model_name_or_path,
+            api_list=api_list,
+            engine=engine,
         )
         return True
+
+    def _build_engine(self, serving: dict):
+        """Continuous-batching pool over the chatbot's resident model
+        (serving_config: {continuous_batching: true, max_slots: 8,
+        max_len: 1024})."""
+        from intel_extension_for_transformers_tpu.models.engine import (
+            DecodeEngine,
+        )
+
+        params = getattr(self.chatbot, "params", None)
+        model_config = getattr(self.chatbot, "model_config", None)
+        if params is None or model_config is None:
+            logger.warning(
+                "continuous_batching requested but the chatbot exposes no "
+                "(params, model_config); falling back to locked generation"
+            )
+            return None
+        self.engine = DecodeEngine(
+            params,
+            model_config,
+            max_slots=int(serving.get("max_slots", 8)),
+            max_len=int(serving.get("max_len", 1024)),
+        ).start()
+        return self.engine
 
     @staticmethod
     def _pipeline_config_from(config: dict) -> PipelineConfig:
@@ -398,6 +491,8 @@ class NeuralChatServerExecutor:
             return t
 
     def stop(self):
+        if self.engine is not None:
+            self.engine.stop()
         if self.server is not None:
             self.server.shutdown()
             self.server.server_close()
