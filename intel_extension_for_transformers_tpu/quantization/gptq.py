@@ -71,49 +71,65 @@ def gptq_quantize(
     damp = config.damp_percent * jnp.mean(jnp.diag(H))
     H = H + jnp.eye(K, dtype=jnp.float32) * damp
 
-    # dead input channels: H_ii == 0 → weight contribution irrelevant
-    dead = jnp.diag(H) <= damp * 1.5
-    H = jnp.where(
-        jnp.diag(dead)[None, :] * 0 + jnp.diag(dead.astype(H.dtype)) > 0,
-        jnp.eye(K, dtype=H.dtype),
-        H,
-    ) if False else H  # keep damping-only stabilization; dead handled by damp
-
     # Cholesky of H^{-1}: the GPTQ "inverse Hessian upper factor"
     Hinv = jnp.linalg.inv(H)
     # upper-triangular factor via Cholesky of Hinv
     L = jnp.linalg.cholesky(Hinv)  # lower
     U = L.T  # Hinv = L @ L.T; GPTQ uses chol(Hinv, upper=True) = U
 
-    scales, zeros = _group_scales(w, gs, config.scheme, qmax)  # (G, N)
-
     lo = -qmax - 1.0 if config.scheme == "sym" else 0.0
     hi = qmax
+    is_asym = config.scheme == "asym"
+    G = K // gs
 
-    def quant_col(wk, k):
-        """RTN one K-row against its group's scale/zero."""
-        gidx = k // gs
-        s = scales[gidx]  # (N,)
-        z = zeros[gidx]
-        q = jnp.clip(jnp.round(wk / s) + (z if config.scheme == "asym" else 0.0), lo, hi)
-        deq = (q - (z if config.scheme == "asym" else 0.0)) * s
-        return q, deq
+    def group_scale(wg):
+        """Scale/zero of one (gs, N) group — from the CURRENT (error-
+        compensated) weights, derived as the sweep reaches the group
+        (canonical GPTQ; the round-1 shortcut used pre-sweep weights)."""
+        if is_asym:
+            wmin = jnp.min(wg, axis=0)
+            wmax = jnp.max(wg, axis=0)
+            rng = wmax - wmin
+            s = jnp.where(rng == 0, 1.0, rng / qmax)
+            z = jnp.round(-wmin / s)
+        else:
+            absmax = jnp.max(jnp.abs(wg), axis=0)
+            s = jnp.where(absmax == 0, 1.0, absmax / qmax)
+            z = jnp.zeros_like(s)
+        return s, z  # (N,), (N,)
 
-    def body(k, carry):
-        wcur, qacc = carry
-        wk = wcur[k]  # (N,)
-        q, deq = quant_col(wk, k)
-        err = (wk - deq) / U[k, k]
+    def row_body(r, carry):
+        wcur, qacc, s, z, gi = carry
+        k = gi * gs + r
+        wk = jax.lax.dynamic_slice(wcur, (k, 0), (1, N))[0]  # (N,)
+        q = jnp.clip(jnp.round(wk / s) + (z if is_asym else 0.0), lo, hi)
+        deq = (q - (z if is_asym else 0.0)) * s
+        ukk = jax.lax.dynamic_slice(U, (k, k), (1, 1))[0, 0]
+        err = (wk - deq) / ukk
         # propagate error to remaining rows: w[j] -= U[k, j] * err for j > k
-        row = U[k]  # (K,)
+        row = jax.lax.dynamic_slice(U, (k, 0), (1, K))[0]  # (K,)
         mask = (jnp.arange(K) > k).astype(jnp.float32)
-        update = (row * mask)[:, None] * err[None, :]  # (K, N)
-        wcur = wcur - update
-        qacc = qacc.at[k].set(q)
-        return wcur, qacc
+        wcur = wcur - (row * mask)[:, None] * err[None, :]
+        qacc = jax.lax.dynamic_update_slice(qacc, q[None, :], (k, 0))
+        return wcur, qacc, s, z, gi
+
+    def group_body(gi, carry):
+        wcur, qacc, sacc, zacc = carry
+        wg = jax.lax.dynamic_slice(wcur, (gi * gs, 0), (gs, N))
+        s, z = group_scale(wg)
+        wcur, qacc, _, _, _ = jax.lax.fori_loop(
+            0, gs, row_body, (wcur, qacc, s, z, gi)
+        )
+        sacc = jax.lax.dynamic_update_slice(sacc, s[None, :], (gi, 0))
+        zacc = jax.lax.dynamic_update_slice(zacc, z[None, :], (gi, 0))
+        return wcur, qacc, sacc, zacc
 
     qinit = jnp.zeros((K, N), jnp.float32)
-    _, qvals = jax.lax.fori_loop(0, K, body, (w, qinit))
+    sinit = jnp.ones((G, N), jnp.float32)
+    zinit = jnp.zeros((G, N), jnp.float32)
+    _, qvals, scales, zeros = jax.lax.fori_loop(
+        0, G, group_body, (w, qinit, sinit, zinit)
+    )
 
     if bits == 4:
         if config.scheme == "sym":

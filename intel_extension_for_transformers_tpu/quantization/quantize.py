@@ -201,7 +201,15 @@ def _quantize_one(
         )
 
         return gptq_quantize(w, x_cal, config)
-    if isinstance(config, (AwqConfig, TeqConfig)) and x_cal is not None:
+    if isinstance(config, TeqConfig) and x_cal is not None:
+        from intel_extension_for_transformers_tpu.quantization.awq import teq_quantize
+
+        return teq_quantize(
+            w, x_cal, config,
+            steps=getattr(config, "train_steps", 200),
+            lr=getattr(config, "lr", 1e-2),
+        )
+    if isinstance(config, AwqConfig) and x_cal is not None:
         from intel_extension_for_transformers_tpu.quantization.awq import awq_quantize
 
         return awq_quantize(w, x_cal, config)
