@@ -29,9 +29,9 @@ import jax.numpy as jnp
 def _score_batch(params, config, ids, cont_mask):
     """ids (B, T) int32; cont_mask (B, T) 1 where the token is part of the
     continuation (scored). → (sum ll (B,), greedy_match (B,))."""
-    from intel_extension_for_transformers_tpu.models.llama import llama_apply
+    from intel_extension_for_transformers_tpu.models.registry import get_apply_fn
 
-    logits, _ = llama_apply(params, config, ids)
+    logits, _ = get_apply_fn(config)(params, config, ids)
     lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
     tgt = ids[:, 1:]
     tok_ll = jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]

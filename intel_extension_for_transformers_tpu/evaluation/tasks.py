@@ -1,0 +1,218 @@
+"""Task registry + evaluator — the lm-eval layer over the harness primitives.
+
+Re-creation of the reference's vendored lm-eval task machinery
+(reference: transformers/llm/evaluation/evaluator.py:632 `evaluate` task loop;
+models/huggingface.py loglikelihood plumbing) sized to this stack: a task is
+a dataclass that renders its documents into tokenized requests and reduces
+scored results into metrics. Three task FAMILIES cover what the reference's
+finetuning/quantization flows actually consume (eval_utils.py, the
+accuracy-driven tuning loop trainer.py:190-281):
+
+- multiple-choice (hellaswag/piqa/arc-style): context + N continuations,
+  accuracy = argmax length-normalized loglikelihood, plus `acc_norm`.
+- greedy continuation (lambada-style): accuracy = the continuation is the
+  greedy decode.
+- perplexity (wikitext-style): rolling-window ppl over raw text.
+
+No dataset downloads happen here (this environment has no egress): each task
+reads local JSONL/text via `data_path`, or falls back to a small bundled
+sample so the pipeline is runnable/testable end-to-end. Plug real dumps in
+by passing data_path.
+
+API shape follows lm-eval:
+
+    evaluate(params, config, tokenizer,
+             tasks=["hellaswag", "lambada", "wikitext"]) → {task: metrics}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from intel_extension_for_transformers_tpu.evaluation.harness import (
+    evaluate_multiple_choice,
+    evaluate_perplexity,
+    loglikelihood,
+)
+
+_TASKS: Dict[str, Callable[..., "Task"]] = {}
+
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+
+def register_task(name: str):
+    def deco(factory):
+        _TASKS[name] = factory
+        return factory
+
+    return deco
+
+
+def get_task(name: str, **kw) -> "Task":
+    if name not in _TASKS:
+        raise KeyError(f"unknown task {name!r}; available: {sorted(_TASKS)}")
+    return _TASKS[name](**kw)
+
+
+def list_tasks() -> List[str]:
+    return sorted(_TASKS)
+
+
+def _encode(tokenizer, text: str) -> List[int]:
+    ids = tokenizer.encode(text) if hasattr(tokenizer, "encode") else tokenizer(text)["input_ids"]
+    if hasattr(ids, "ids"):
+        ids = ids.ids
+    return [int(i) for i in np.asarray(ids).reshape(-1)]
+
+
+def _read_jsonl(path: str) -> List[dict]:
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+@dataclass
+class Task:
+    """Base: subclasses implement evaluate()."""
+
+    name: str = "task"
+
+    def evaluate(self, params, config, tokenizer, *, batch_size: int = 8) -> dict:
+        raise NotImplementedError
+
+
+@dataclass
+class MultipleChoiceTask(Task):
+    """Docs: {"context": str, "choices": [str, ...], "gold": int}.
+
+    Metrics match lm-eval: `acc` (raw ll argmax) and `acc_norm`
+    (length-normalized ll argmax — what hellaswag reports)."""
+
+    docs: List[dict] = field(default_factory=list)
+
+    @classmethod
+    def from_jsonl(cls, name: str, path: str) -> "MultipleChoiceTask":
+        return cls(name=name, docs=_read_jsonl(path))
+
+    def evaluate(self, params, config, tokenizer, *, batch_size: int = 8) -> dict:
+        questions = []
+        for d in self.docs:
+            ctx = _encode(tokenizer, d["context"])
+            # choices tokenized as continuations (leading space, lm-eval style)
+            choices = [
+                _encode(tokenizer, c if c.startswith(" ") else " " + c)
+                for c in d["choices"]
+            ]
+            questions.append({"context": ctx, "choices": choices, "gold": d["gold"]})
+        raw = evaluate_multiple_choice(
+            params, config, questions, batch_size=batch_size, length_normalize=False
+        )
+        norm = evaluate_multiple_choice(
+            params, config, questions, batch_size=batch_size, length_normalize=True
+        )
+        return {"acc": raw["accuracy"], "acc_norm": norm["accuracy"], "n": raw["n"]}
+
+
+@dataclass
+class GreedyContinuationTask(Task):
+    """Lambada-style: predict the final word of each passage greedily.
+
+    Docs: {"text": str} — split on the last space; metric `acc` = the
+    continuation tokens are all greedy, `ppl` over the continuation."""
+
+    docs: List[dict] = field(default_factory=list)
+
+    @classmethod
+    def from_jsonl(cls, name: str, path: str) -> "GreedyContinuationTask":
+        return cls(name=name, docs=_read_jsonl(path))
+
+    def evaluate(self, params, config, tokenizer, *, batch_size: int = 8) -> dict:
+        reqs = []
+        for d in self.docs:
+            text = d["text"].rstrip()
+            head, _, last = text.rpartition(" ")
+            reqs.append((_encode(tokenizer, head), _encode(tokenizer, " " + last)))
+        scored = loglikelihood(params, config, reqs, batch_size=batch_size)
+        n = max(len(scored), 1)
+        acc = sum(bool(g) for _, g in scored) / n
+        total_tokens = sum(len(c) for _, c in reqs) or 1
+        nll = -sum(ll for ll, _ in scored) / total_tokens
+        return {"acc": acc, "ppl": float(np.exp(min(nll, 30.0))), "n": len(scored)}
+
+
+@dataclass
+class PerplexityTask(Task):
+    """Wikitext-style rolling perplexity over raw text."""
+
+    text: str = ""
+    window: int = 256
+    stride: int = 256
+
+    @classmethod
+    def from_file(cls, name: str, path: str, **kw) -> "PerplexityTask":
+        with open(path) as f:
+            return cls(name=name, text=f.read(), **kw)
+
+    def evaluate(self, params, config, tokenizer, *, batch_size: int = 8) -> dict:
+        ids = _encode(tokenizer, self.text)
+        out = evaluate_perplexity(
+            params, config, ids,
+            window=self.window, stride=self.stride, batch_size=batch_size,
+        )
+        return {"ppl": out["perplexity"], "nll": out["nll"], "tokens": out["tokens"]}
+
+
+# ------------------------- bundled task factories -------------------------
+
+
+@register_task("hellaswag")
+def _hellaswag(data_path: Optional[str] = None, **kw) -> MultipleChoiceTask:
+    path = data_path or os.path.join(_DATA_DIR, "hellaswag_sample.jsonl")
+    return MultipleChoiceTask.from_jsonl("hellaswag", path)
+
+
+@register_task("piqa")
+def _piqa(data_path: Optional[str] = None, **kw) -> MultipleChoiceTask:
+    path = data_path or os.path.join(_DATA_DIR, "piqa_sample.jsonl")
+    return MultipleChoiceTask.from_jsonl("piqa", path)
+
+
+@register_task("lambada")
+def _lambada(data_path: Optional[str] = None, **kw) -> GreedyContinuationTask:
+    path = data_path or os.path.join(_DATA_DIR, "lambada_sample.jsonl")
+    return GreedyContinuationTask.from_jsonl("lambada", path)
+
+
+@register_task("wikitext")
+def _wikitext(data_path: Optional[str] = None, **kw) -> PerplexityTask:
+    path = data_path or os.path.join(_DATA_DIR, "wikitext_sample.txt")
+    return PerplexityTask.from_file("wikitext", path, **kw)
+
+
+# ------------------------------- evaluator -------------------------------
+
+
+def evaluate(
+    params,
+    config,
+    tokenizer,
+    tasks: Sequence,
+    *,
+    batch_size: int = 8,
+    data_paths: Optional[Dict[str, str]] = None,
+) -> Dict[str, dict]:
+    """Run tasks (names or Task objects) → {task_name: metrics}
+    (reference: evaluator.py:632 `evaluate(lm, task_dict, ...)`)."""
+    results: Dict[str, dict] = {}
+    for t in tasks:
+        if isinstance(t, str):
+            kw = {}
+            if data_paths and t in data_paths:
+                kw["data_path"] = data_paths[t]
+            t = get_task(t, **kw)
+        results[t.name] = t.evaluate(params, config, tokenizer, batch_size=batch_size)
+    return results

@@ -306,10 +306,29 @@ class NLPTrainer:
         return {"eval_loss": mean, "perplexity": float(np.exp(min(mean, 30.0)))}
 
     # ----------------------------------------------------------- quantize
-    def quantize(self, quant_config: QuantizationConfigMixin, calib_inputs=None):
+    def quantize(
+        self,
+        quant_config: QuantizationConfigMixin,
+        calib_inputs=None,
+        *,
+        eval_tasks=None,
+        tokenizer=None,
+        accuracy_criterion: float = 0.01,
+        fallback_configs=None,
+    ):
         """PTQ directly, or QAT (straight-through fake quant during training,
         then real quantization) for QuantAwareTrainingConfig
-        (reference: trainer.py:281 `quantize`, `_inc_quantize` :251)."""
+        (reference: trainer.py:281 `quantize`, `_inc_quantize` :251).
+
+        Accuracy-driven tuning (reference: builtin_eval_func loop,
+        trainer.py:190-281): with `eval_tasks` (names from evaluation.tasks)
+        and a `tokenizer`, the fp32 model is scored first; after quantization
+        the same tasks re-run and, if the mean `acc` drop exceeds
+        `accuracy_criterion` (relative), each config in `fallback_configs`
+        (default: same algorithm at smaller group_size, then int8) is tried
+        until one passes. The last fallback is returned even if it misses the
+        bar, with `accuracy_ok=False` recorded in `self.last_quant_report`.
+        """
         from intel_extension_for_transformers_tpu.quantization import quantize_model
         from intel_extension_for_transformers_tpu.quantization.quantize import (
             default_is_quantizable,
@@ -342,7 +361,70 @@ class NLPTrainer:
 
             params, _, _ = self._run(loss_fn, self.params)
             self.params = params
-        return quantize_model(self.params, quant_config, calib_inputs=calib_inputs)
+
+        if not eval_tasks:
+            return quantize_model(self.params, quant_config, calib_inputs=calib_inputs)
+        return self._quantize_with_accuracy_gate(
+            quant_config,
+            calib_inputs,
+            eval_tasks=eval_tasks,
+            tokenizer=tokenizer,
+            accuracy_criterion=accuracy_criterion,
+            fallback_configs=fallback_configs,
+        )
+
+    def _quantize_with_accuracy_gate(
+        self, quant_config, calib_inputs, *, eval_tasks, tokenizer,
+        accuracy_criterion, fallback_configs,
+    ):
+        import dataclasses
+
+        from intel_extension_for_transformers_tpu.evaluation.tasks import evaluate
+        from intel_extension_for_transformers_tpu.quantization import quantize_model
+
+        def score(params):
+            res = evaluate(params, self.model_config, tokenizer, eval_tasks)
+            accs = [m["acc"] for m in res.values() if "acc" in m]
+            return (sum(accs) / len(accs)) if accs else 0.0, res
+
+        base_acc, base_res = score(self.params)
+        candidates = [quant_config]
+        if fallback_configs is not None:
+            candidates += list(fallback_configs)
+        else:
+            # default ladder: halve group size, then int8 (reference INC
+            # tuning space: alg → smaller groups → wider dtype)
+            gs = getattr(quant_config, "group_size", 128) or 128
+            if gs > 32:
+                candidates.append(dataclasses.replace(quant_config, group_size=32))
+            if getattr(quant_config, "weight_dtype", "int4") != "int8":
+                try:
+                    candidates.append(
+                        dataclasses.replace(quant_config, weight_dtype="int8")
+                    )
+                except (TypeError, ValueError):
+                    pass
+
+        report = {"fp32_acc": base_acc, "fp32_results": base_res, "attempts": []}
+        qmodel = None
+        for cand in candidates:
+            qmodel = quantize_model(self.params, cand, calib_inputs=calib_inputs)
+            q_acc, q_res = score(qmodel.params)
+            drop = (base_acc - q_acc) / max(abs(base_acc), 1e-9)
+            ok = drop <= accuracy_criterion
+            report["attempts"].append(
+                {"config": type(cand).__name__,
+                 "group_size": getattr(cand, "group_size", None),
+                 "weight_dtype": getattr(cand, "weight_dtype", None),
+                 "acc": q_acc, "rel_drop": drop, "ok": ok}
+            )
+            if ok:
+                report["accuracy_ok"] = True
+                self.last_quant_report = report
+                return qmodel
+        report["accuracy_ok"] = False
+        self.last_quant_report = report
+        return qmodel
 
     # -------------------------------------------------------------- prune
     def prune(self, pruning_config: Optional[PruningConfig] = None) -> TrainOutput:
