@@ -105,11 +105,16 @@ class ChatApp:
     together — the native answer to the reference's vLLM adoption
     (modeling_auto.py:364-533). Without it, requests serialize on a lock."""
 
-    def __init__(self, chatbot, model_name: str, api_list=None, engine=None):
+    def __init__(
+        self, chatbot, model_name: str, api_list=None, engine=None,
+        askdoc=None, finetune=None,
+    ):
         self.chatbot = chatbot
         self.model_name = model_name
         self.api_list = list(api_list or DEFAULT_API_LIST)
         self.engine = engine
+        self.askdoc = askdoc  # AskDocRouter (task "retrieval"/"askdoc")
+        self.finetune = finetune  # FinetuneRouter (task "finetune")
         self._gen_lock = threading.Lock()
 
     # ------------------------------ engine path ------------------------------
@@ -310,6 +315,23 @@ class ChatApp:
             and "completion" in self.api_list
         ):
             return self.handle_completion(body or {})
+        # -- askdoc router (reference: restful/api.py:39-51 'retrieval') --
+        if self.askdoc is not None:
+            if method == "POST" and path == "/v1/askdoc/create":
+                return self.askdoc.create(body or {})
+            if method == "POST" and path == "/v1/askdoc/append":
+                return self.askdoc.append(body or {})
+            if method == "POST" and path == "/v1/askdoc/chat":
+                return self.askdoc.chat(body or {})
+            if method == "GET" and path == "/v1/askdoc/kbs":
+                return self.askdoc.list_kbs()
+        # -- finetune router (reference: restful/api.py 'finetune') --
+        if self.finetune is not None:
+            if method == "POST" and path == "/v1/finetune":
+                return self.finetune.submit(body or {})
+            if method == "GET" and path.startswith("/v1/finetune/jobs"):
+                job_id = path[len("/v1/finetune/jobs"):].strip("/") or None
+                return self.finetune.status(job_id)
         return 404, ErrorResponse(f"no route {method} {path}", code=404).to_body()
 
 
@@ -421,13 +443,53 @@ class NeuralChatServerExecutor:
         serving = config.get("serving_config") or {}
         if serving.get("continuous_batching"):
             engine = self._build_engine(serving)
+        askdoc = finetune = None
+        if {"retrieval", "askdoc"} & set(api_list):
+            askdoc = self._build_askdoc(config)
+        if "finetune" in api_list:
+            from intel_extension_for_transformers_tpu.neural_chat.server.routers import (
+                FinetuneRouter,
+            )
+
+            finetune = FinetuneRouter(self.chatbot)
         self.app = ChatApp(
             self.chatbot,
             pipeline.model_name_or_path,
             api_list=api_list,
             engine=engine,
+            askdoc=askdoc,
+            finetune=finetune,
         )
         return True
+
+    def _build_askdoc(self, config: dict):
+        """askdoc KBs share the retrieval plugin's embedder when that plugin
+        is enabled; otherwise an embedder loads lazily from askdoc_config."""
+        from intel_extension_for_transformers_tpu.neural_chat.server.routers import (
+            AskDocRouter,
+        )
+
+        askdoc_cfg = dict(config.get("askdoc_config") or {})
+        preloaded = askdoc_cfg.pop("embedder", None)
+        model_name = askdoc_cfg.pop("embedding_model", "BAAI/bge-small-en-v1.5")
+
+        def factory():
+            if preloaded is not None:
+                return preloaded
+            from intel_extension_for_transformers_tpu.neural_chat.plugins import (
+                get_plugin_instance,
+            )
+
+            agent = get_plugin_instance("retrieval")
+            if agent is not None and getattr(agent, "embedder", None) is not None:
+                return agent.embedder
+            from intel_extension_for_transformers_tpu.retrieval.embedder import (
+                TextEmbedder,
+            )
+
+            return TextEmbedder.from_pretrained(model_name)
+
+        return AskDocRouter(factory, chatbot=self.chatbot, **askdoc_cfg)
 
     def _build_engine(self, serving: dict):
         """Continuous-batching pool over the chatbot's resident model

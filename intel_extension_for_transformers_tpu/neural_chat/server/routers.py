@@ -1,0 +1,208 @@
+"""Task routers beyond the OpenAI chat surface: askdoc (RAG-as-API) and
+finetune (training-as-API).
+
+Re-creation of the reference's per-task REST routers
+(reference: neural_chat/server/restful/api.py:39-51 maps 11 routers; the two
+that matter for a RAG-north-star framework are `retrieval/askdoc` —
+restful/retrieval_api.py create/append/chat — and `finetune` —
+restful/finetune_api.py). The heavy media routers (text2image, voicechat,
+faceanimation, photoai) stay behind their optional plugins.
+
+Design: plain handler classes returning (status, payload) that ChatApp.route
+dispatches — same contract as the OpenAI handlers, no framework dependency.
+
+- AskDocRouter owns named knowledge bases (each a `RetrievalAgent` sharing
+  one embedder): POST /v1/askdoc/create | /append | /chat, GET /v1/askdoc/kbs.
+- FinetuneRouter launches LoRA jobs on the resident model in a background
+  thread and reports status: POST /v1/finetune, GET /v1/finetune/jobs[/id].
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import uuid
+from typing import Callable, Dict, Optional
+
+logger = logging.getLogger(__name__)
+
+
+class AskDocRouter:
+    """Knowledge-base lifecycle + retrieval-augmented chat over HTTP."""
+
+    def __init__(self, embedder_factory: Callable, chatbot=None, **agent_kw):
+        self._embedder_factory = embedder_factory
+        self._embedder = None
+        self._chatbot = chatbot
+        self._agent_kw = agent_kw
+        self._kbs: Dict[str, object] = {}
+        self._lock = threading.Lock()
+
+    def _get_embedder(self):
+        if self._embedder is None:
+            self._embedder = self._embedder_factory()
+        return self._embedder
+
+    def _new_agent(self):
+        from intel_extension_for_transformers_tpu.retrieval.agent import (
+            RetrievalAgent,
+        )
+
+        return RetrievalAgent(self._get_embedder(), **self._agent_kw)
+
+    @staticmethod
+    def _docs_from_body(body: dict):
+        docs = body.get("documents")
+        if docs:
+            return [
+                {"content": d["content"], "metadata": d.get("metadata", {})}
+                if isinstance(d, dict)
+                else {"content": str(d), "metadata": {}}
+                for d in docs
+            ]
+        return None
+
+    def create(self, body: dict):
+        """POST /v1/askdoc/create {documents | input_path} → knowledge_base_id
+        (reference: retrieval_api create KB)."""
+        kb_id = body.get("knowledge_base_id") or f"kb_{uuid.uuid4().hex[:12]}"
+        try:
+            agent = self._new_agent()
+            docs = self._docs_from_body(body)
+            if docs:
+                agent.add_documents(docs)
+            elif body.get("input_path"):
+                agent.append_localdb(body["input_path"])
+            else:
+                return 400, {"error": "need documents or input_path"}
+        except Exception as e:  # noqa: BLE001 — surface as API error
+            return 400, {"error": str(e)}
+        with self._lock:
+            self._kbs[kb_id] = agent
+        return 200, {"knowledge_base_id": kb_id, "count": len(agent.docs)}
+
+    def append(self, body: dict):
+        kb_id = body.get("knowledge_base_id")
+        agent = self._kbs.get(kb_id)
+        if agent is None:
+            return 404, {"error": f"unknown knowledge_base_id {kb_id!r}"}
+        docs = self._docs_from_body(body)
+        try:
+            if docs:
+                agent.add_documents(docs)
+            elif body.get("input_path"):
+                agent.append_localdb(body["input_path"])
+            else:
+                return 400, {"error": "need documents or input_path"}
+        except Exception as e:  # noqa: BLE001
+            return 400, {"error": str(e)}
+        return 200, {"knowledge_base_id": kb_id, "count": len(agent.docs)}
+
+    def list_kbs(self):
+        with self._lock:
+            return 200, {
+                "knowledge_bases": [
+                    {"id": k, "count": len(a.docs)} for k, a in self._kbs.items()
+                ]
+            }
+
+    def chat(self, body: dict):
+        """POST /v1/askdoc/chat {query, knowledge_base_id, top_k?, generate?}
+        → {context: [...], response?} (reference: retrieval_api chat)."""
+        kb_id = body.get("knowledge_base_id")
+        agent = self._kbs.get(kb_id)
+        if agent is None:
+            return 404, {"error": f"unknown knowledge_base_id {kb_id!r}"}
+        query = body.get("query") or ""
+        if not query:
+            return 400, {"error": "query must be non-empty"}
+        k = int(body.get("top_k") or agent.top_k)
+        hits = agent.get_context(query, k=k)
+        out = {
+            "knowledge_base_id": kb_id,
+            "context": [
+                {"content": h["content"], "metadata": h.get("metadata", {})}
+                for h in hits
+            ],
+        }
+        if body.get("generate", True) and self._chatbot is not None:
+            prompt = agent.pre_llm_inference_actions(query)
+            out["response"] = self._chatbot.predict(prompt)
+        return 200, out
+
+
+class FinetuneRouter:
+    """LoRA finetuning jobs over HTTP on the server's resident model."""
+
+    def __init__(self, chatbot):
+        self._chatbot = chatbot
+        self._jobs: Dict[str, dict] = {}
+        self._lock = threading.Lock()
+
+    def submit(self, body: dict):
+        """POST /v1/finetune {train_texts | train_file, lora_rank?, max_steps?,
+        learning_rate?, output_dir?} → {job_id}
+        (reference: restful/finetune_api.py launch)."""
+        params = getattr(self._chatbot, "params", None)
+        model_config = getattr(self._chatbot, "model_config", None)
+        tokenizer = getattr(self._chatbot, "tokenizer", None)
+        if params is None or model_config is None:
+            return 400, {"error": "server model does not expose (params, config)"}
+        texts = body.get("train_texts")
+        train_file = body.get("train_file")
+        if not texts and not train_file:
+            return 400, {"error": "need train_texts or train_file"}
+
+        from intel_extension_for_transformers_tpu.neural_chat.config import (
+            FinetuningConfig,
+        )
+
+        cfg = FinetuningConfig(
+            train_file=train_file,
+            lora_rank=int(body.get("lora_rank", 8)),
+            lora_alpha=int(body.get("lora_alpha", 16)),
+            learning_rate=float(body.get("learning_rate", 1e-4)),
+            max_steps=int(body.get("max_steps", 10)),
+            num_train_epochs=int(body.get("num_train_epochs", 1)),
+            per_device_train_batch_size=int(body.get("batch_size", 2)),
+            max_seq_length=int(body.get("max_seq_length", 128)),
+            output_dir=body.get("output_dir", "./finetuned_api"),
+        )
+        job_id = f"ft_{uuid.uuid4().hex[:12]}"
+        job = {"status": "running", "config": cfg.output_dir, "job_id": job_id}
+        with self._lock:
+            self._jobs[job_id] = job
+
+        def run():
+            try:
+                from intel_extension_for_transformers_tpu.trainer.finetuning import (
+                    Finetuning,
+                )
+
+                ft = Finetuning(cfg)
+                lora, _ = ft.finetune(
+                    params=params,
+                    model_config=model_config,
+                    tokenizer=tokenizer,
+                    texts=texts,
+                )
+                job["status"] = "completed"
+                job["adapter_dir"] = cfg.output_dir
+                del lora
+            except Exception as e:  # noqa: BLE001 — report, keep serving
+                logger.exception("finetune job %s failed", job_id)
+                job["status"] = "failed"
+                job["error"] = str(e)
+
+        threading.Thread(target=run, daemon=True).start()
+        return 200, {"job_id": job_id, "status": "running"}
+
+    def status(self, job_id: Optional[str]):
+        """GET /v1/finetune/jobs[/{id}]"""
+        if job_id:
+            job = self._jobs.get(job_id)
+            if job is None:
+                return 404, {"error": f"unknown job {job_id!r}"}
+            return 200, job
+        with self._lock:
+            return 200, {"jobs": list(self._jobs.values())}
