@@ -628,3 +628,152 @@ def _convert_gpt_bigcode(hc, sd):
 
 
 _DECODER_CONVERTERS["gpt_bigcode"] = _convert_gpt_bigcode
+
+
+def _convert_stablelm(hc, sd):
+    """StableLM (reference model_type menu: modeling_auto.py:325-347).
+
+    Llama-shaped weights with LayerNorm (biased) norms, PARTIAL rotary
+    (partial_rotary_factor, half-split convention), gated silu MLP, and
+    optional qkv biases / parallel residual."""
+    from intel_extension_for_transformers_tpu.models.decoder import DecoderConfig
+
+    if getattr(hc, "qk_layernorm", False):
+        raise ValueError("stablelm qk_layernorm variant not supported")
+    config = DecoderConfig(
+        model_type="stablelm",
+        vocab_size=hc.vocab_size,
+        hidden_size=hc.hidden_size,
+        num_hidden_layers=hc.num_hidden_layers,
+        num_attention_heads=hc.num_attention_heads,
+        num_key_value_heads=hc.num_key_value_heads,
+        intermediate_size=hc.intermediate_size,
+        max_position_embeddings=hc.max_position_embeddings,
+        rotary_pct=getattr(hc, "partial_rotary_factor", 0.25),
+        rotary_interleaved=False,
+        rope_theta=getattr(hc, "rope_theta", 10000.0),
+        parallel_residual=getattr(hc, "use_parallel_residual", False),
+        # the parallel block drops post_attention_layernorm: ONE shared ln
+        shared_ln=getattr(hc, "use_parallel_residual", False),
+        norm_type="layernorm",
+        norm_eps=hc.layer_norm_eps,
+        activation=_act_of(hc, "silu"),
+        gated_mlp=True,
+        attention_bias=getattr(hc, "use_qkv_bias", False),
+        mlp_bias=False,
+        tie_word_embeddings=getattr(hc, "tie_word_embeddings", False),
+    )
+    params = {
+        "embed_tokens": jnp.asarray(_np(sd["model.embed_tokens.weight"])),
+        "layers": [],
+        "final_norm": _norm_p(sd, "model.norm"),
+    }
+    if config.tie_word_embeddings:
+        params["lm_head"] = {
+            "kernel": jnp.asarray(_np(sd["model.embed_tokens.weight"]).T)
+        }
+    else:
+        params["lm_head"] = _lin(sd, "lm_head")
+    for li in range(config.num_hidden_layers):
+        p = f"model.layers.{li}."
+        layer = {
+            "ln1": _norm_p(sd, p + "input_layernorm"),
+            "attention": {
+                "q": _lin(sd, p + "self_attn.q_proj"),
+                "k": _lin(sd, p + "self_attn.k_proj"),
+                "v": _lin(sd, p + "self_attn.v_proj"),
+                "o": _lin(sd, p + "self_attn.o_proj"),
+            },
+            "mlp": {
+                "gate": _lin(sd, p + "mlp.gate_proj"),
+                "up": _lin(sd, p + "mlp.up_proj"),
+                "down": _lin(sd, p + "mlp.down_proj"),
+            },
+        }
+        if not config.shared_ln:
+            layer["ln2"] = _norm_p(sd, p + "post_attention_layernorm")
+        params["layers"].append(layer)
+    return params, config
+
+
+_DECODER_CONVERTERS["stablelm"] = _convert_stablelm
+
+
+def _convert_chatglm(hc, sd):
+    """ChatGLM2/3 (reference model_type menu: modeling_auto.py:325-347;
+    neural-speed chatglm graph).
+
+    RMSNorm, grouped-KV fused QKV with biases, rotary on the first HALF of
+    head_dim in the GPT-J interleaved convention, SwiGLU MLP stored as one
+    fused dense_h_to_4h = [gate; up]."""
+    from intel_extension_for_transformers_tpu.models.decoder import DecoderConfig
+
+    nh = hc.num_attention_heads
+    hd = getattr(hc, "kv_channels", hc.hidden_size // nh)
+    nkv = (
+        hc.multi_query_group_num
+        if getattr(hc, "multi_query_attention", False)
+        else nh
+    )
+    rope_ratio = getattr(hc, "rope_ratio", 1.0)
+    config = DecoderConfig(
+        model_type="chatglm",
+        vocab_size=getattr(hc, "padded_vocab_size", None) or hc.vocab_size,
+        hidden_size=hc.hidden_size,
+        num_hidden_layers=hc.num_layers,
+        num_attention_heads=nh,
+        num_key_value_heads=nkv,
+        intermediate_size=hc.ffn_hidden_size,
+        max_position_embeddings=getattr(hc, "seq_length", 2048),
+        rotary_pct=0.5,
+        rotary_interleaved=True,
+        rope_theta=10000.0 * rope_ratio,
+        norm_type="rmsnorm" if getattr(hc, "rmsnorm", True) else "layernorm",
+        norm_eps=hc.layernorm_epsilon,
+        activation="silu",
+        gated_mlp=True,
+        attention_bias=getattr(hc, "add_qkv_bias", True),
+        mlp_bias=False,
+        tie_word_embeddings=False,
+    )
+    pre = "transformer."
+    params = {
+        "embed_tokens": jnp.asarray(
+            _np(sd[pre + "embedding.word_embeddings.weight"])
+        ),
+        "layers": [],
+        "final_norm": _norm_p(sd, pre + "encoder.final_layernorm"),
+        "lm_head": _lin(sd, pre + "output_layer"),
+    }
+    q_rows, kv_rows = nh * hd, nkv * hd
+    ffn = hc.ffn_hidden_size
+    for li in range(config.num_hidden_layers):
+        p = f"{pre}encoder.layers.{li}."
+        w = _np(sd[p + "self_attention.query_key_value.weight"])
+        attn = {}
+        splits = {"q": (0, q_rows), "k": (q_rows, q_rows + kv_rows),
+                  "v": (q_rows + kv_rows, q_rows + 2 * kv_rows)}
+        has_bias = p + "self_attention.query_key_value.bias" in sd
+        b = _np(sd[p + "self_attention.query_key_value.bias"]) if has_bias else None
+        for name, (a, z) in splits.items():
+            attn[name] = {"kernel": jnp.asarray(w[a:z].T)}
+            if b is not None:
+                attn[name]["bias"] = jnp.asarray(b[a:z])
+        attn["o"] = _lin(sd, p + "self_attention.dense")
+        h4 = _np(sd[p + "mlp.dense_h_to_4h.weight"])  # (2*ffn, H): [gate; up]
+        params["layers"].append(
+            {
+                "ln1": _norm_p(sd, p + "input_layernorm"),
+                "ln2": _norm_p(sd, p + "post_attention_layernorm"),
+                "attention": attn,
+                "mlp": {
+                    "gate": {"kernel": jnp.asarray(h4[:ffn].T)},
+                    "up": {"kernel": jnp.asarray(h4[ffn:].T)},
+                    "down": _lin(sd, p + "mlp.dense_4h_to_h"),
+                },
+            }
+        )
+    return params, config
+
+
+_DECODER_CONVERTERS["chatglm"] = _convert_chatglm

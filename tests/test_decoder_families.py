@@ -253,3 +253,155 @@ def test_qwen2_parity():
     )
     torch.manual_seed(0)
     _llama_family_parity(hf.Qwen2ForCausalLM(cfg))
+
+
+def test_stablelm_parity():
+    cfg = hf.StableLmConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+        max_position_embeddings=64, partial_rotary_factor=0.25,
+        use_qkv_bias=True, use_parallel_residual=False, hidden_act="silu",
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    _parity(hf.StableLmForCausalLM(cfg))
+
+
+def test_stablelm_parallel_residual_parity():
+    cfg = hf.StableLmConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4, intermediate_size=128,
+        max_position_embeddings=64, partial_rotary_factor=0.5,
+        use_qkv_bias=False, use_parallel_residual=True,
+    )
+    torch.manual_seed(1)
+    _parity(hf.StableLmForCausalLM(cfg))
+
+
+# --------------------------- chatglm2/3 oracle ---------------------------
+# ChatGLM ships as remote code (no offline HF class), so the parity oracle
+# is a minimal local torch implementation of the published ChatGLM2 forward
+# semantics: RMSNorm → fused grouped-KV QKV (bias) → interleaved RoPE on the
+# first half of head_dim → causal attention → dense; RMSNorm → SwiGLU with
+# fused [gate; up] h_to_4h → 4h_to_h (reference menu: modeling_auto.py:325).
+
+
+class _GlmOracle(torch.nn.Module):
+    def __init__(self, V, H, L, nh, nkv, ffn, hd):
+        super().__init__()
+        self.V, self.H, self.L = V, H, L
+        self.nh, self.nkv, self.ffn, self.hd = nh, nkv, ffn, hd
+        mk = torch.nn.Linear
+        self.emb = torch.nn.Embedding(V, H)
+        self.layers = torch.nn.ModuleList()
+        for _ in range(L):
+            blk = torch.nn.Module()
+            blk.ln1_w = torch.nn.Parameter(torch.rand(H) * 0.5 + 0.75)
+            blk.qkv = mk(H, (nh + 2 * nkv) * hd, bias=True)
+            blk.dense = mk(nh * hd, H, bias=False)
+            blk.ln2_w = torch.nn.Parameter(torch.rand(H) * 0.5 + 0.75)
+            blk.h4 = mk(H, 2 * ffn, bias=False)
+            blk.h4o = mk(ffn, H, bias=False)
+            self.layers.append(blk)
+        self.lnf_w = torch.nn.Parameter(torch.rand(H) * 0.5 + 0.75)
+        self.out = mk(H, V, bias=False)
+
+    @staticmethod
+    def _rms(x, w, eps=1e-5):
+        v = x.float()
+        v = v * torch.rsqrt(v.pow(2).mean(-1, keepdim=True) + eps)
+        return v * w
+
+    def _rope(self, x, positions):
+        # interleaved pairs over the FIRST half of head_dim
+        B, T, nh, hd = x.shape
+        rot = hd // 2
+        xr, xp = x[..., :rot], x[..., rot:]
+        half = rot // 2
+        theta = 1.0 / (10000.0 ** (torch.arange(0, half).float() * 2 / rot))
+        ang = positions[:, None].float() * theta[None, :]  # (T, half)
+        cos, sin = torch.cos(ang), torch.sin(ang)
+        xr = xr.reshape(B, T, nh, half, 2)
+        x0, x1 = xr[..., 0], xr[..., 1]
+        c = cos[None, :, None, :]
+        s = sin[None, :, None, :]
+        rot0 = x0 * c - x1 * s
+        rot1 = x1 * c + x0 * s
+        xr = torch.stack([rot0, rot1], dim=-1).reshape(B, T, nh, rot)
+        return torch.cat([xr, xp], dim=-1)
+
+    def forward(self, ids):
+        B, T = ids.shape
+        h = self.emb(ids)
+        pos = torch.arange(T)
+        for blk in self.layers:
+            x = self._rms(h, blk.ln1_w)
+            qkv = blk.qkv(x)
+            q, k, v = torch.split(
+                qkv,
+                [self.nh * self.hd, self.nkv * self.hd, self.nkv * self.hd],
+                dim=-1,
+            )
+            q = q.view(B, T, self.nh, self.hd)
+            k = k.view(B, T, self.nkv, self.hd)
+            v = v.view(B, T, self.nkv, self.hd)
+            q, k = self._rope(q, pos), self._rope(k, pos)
+            rep = self.nh // self.nkv
+            k = k.repeat_interleave(rep, dim=2)
+            v = v.repeat_interleave(rep, dim=2)
+            att = torch.einsum("bqhd,bkhd->bhqk", q, k) / (self.hd ** 0.5)
+            mask = torch.tril(torch.ones(T, T, dtype=torch.bool))
+            att = att.masked_fill(~mask, float("-inf")).softmax(-1)
+            ctx = torch.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, T, -1)
+            h = h + blk.dense(ctx)
+            x = self._rms(h, blk.ln2_w)
+            g, u = torch.split(blk.h4(x), [self.ffn, self.ffn], dim=-1)
+            h = h + blk.h4o(torch.nn.functional.silu(g) * u)
+        return self._rms(h, self.lnf_w) @ self.out.weight.T
+
+    # expose the published chatglm2 checkpoint naming for the converter
+    def state_dict_chatglm(self):
+        sd = {"transformer.embedding.word_embeddings.weight": self.emb.weight}
+        for i, blk in enumerate(self.layers):
+            p = f"transformer.encoder.layers.{i}."
+            sd[p + "input_layernorm.weight"] = blk.ln1_w
+            sd[p + "self_attention.query_key_value.weight"] = blk.qkv.weight
+            sd[p + "self_attention.query_key_value.bias"] = blk.qkv.bias
+            sd[p + "self_attention.dense.weight"] = blk.dense.weight
+            sd[p + "post_attention_layernorm.weight"] = blk.ln2_w
+            sd[p + "mlp.dense_h_to_4h.weight"] = blk.h4.weight
+            sd[p + "mlp.dense_4h_to_h.weight"] = blk.h4o.weight
+        sd["transformer.encoder.final_layernorm.weight"] = self.lnf_w
+        sd["transformer.output_layer.weight"] = self.out.weight
+        return sd
+
+
+def test_chatglm_parity():
+    from types import SimpleNamespace
+
+    torch.manual_seed(0)
+    V, H, L, nh, nkv, ffn = 128, 64, 2, 4, 2, 96
+    hd = H // nh
+    oracle = _GlmOracle(V, H, L, nh, nkv, ffn, hd).eval()
+    hc = SimpleNamespace(
+        model_type="chatglm", padded_vocab_size=V, vocab_size=V,
+        hidden_size=H, num_layers=L, num_attention_heads=nh,
+        multi_query_attention=True, multi_query_group_num=nkv,
+        kv_channels=hd, ffn_hidden_size=ffn, seq_length=64,
+        layernorm_epsilon=1e-5, rmsnorm=True, add_qkv_bias=True,
+    )
+    fake = SimpleNamespace(
+        config=hc, state_dict=oracle.state_dict_chatglm, eval=lambda: None
+    )
+    params, config = decoder_params_from_hf(fake)
+    assert config.model_type == "chatglm" and config.num_key_value_heads == nkv
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, V, (2, 12)).astype(np.int64)
+    with torch.no_grad():
+        ref = oracle(torch.tensor(ids)).float().numpy()
+    got, _ = decoder_apply(params, config, jnp.asarray(ids, jnp.int32))
+    got = np.asarray(got, np.float32)
+    ref_l = ref - ref.max(-1, keepdims=True)
+    got_l = got - got.max(-1, keepdims=True)
+    err = np.abs(ref_l - got_l).max()
+    assert err < 0.05, f"chatglm: max logit err {err}"
