@@ -180,3 +180,47 @@ class IntentDetector:
 
         out = self.predict_fn(generate_intent_prompt(query), max_new_tokens=10)
         return "chitchat" if "chitchat" in out.lower() else "QA"
+
+
+@register_plugin("image2image")
+class Image2ImagePlugin:
+    """Stable-Diffusion img2img (reference:
+    pipeline/plugins/image2image/ — diffusers StableDiffusionImg2ImgPipeline;
+    headline SD v1.5 bf16 2.74 s / 20 steps, docs/release_data.md:88).
+
+    Backed by the JAX diffusion stack (diffusion/pipeline.py): pass a built
+    `pipeline`, or a `config` ("sd15" | "tiny" | StableDiffusionConfig) to
+    random-init one (demo/testing; load converted weights for production)."""
+
+    def __init__(self, pipeline=None, config="tiny", seed: int = 0, **gen_kw):
+        import jax
+
+        from intel_extension_for_transformers_tpu.diffusion import (
+            StableDiffusionConfig,
+            StableDiffusionPipeline,
+        )
+
+        if pipeline is None:
+            if isinstance(config, str):
+                config = (
+                    StableDiffusionConfig.sd15()
+                    if config == "sd15"
+                    else StableDiffusionConfig.tiny()
+                )
+            pipeline = StableDiffusionPipeline.random_init(
+                jax.random.PRNGKey(seed), config
+            )
+        self.pipeline = pipeline
+        self.gen_kw = gen_kw
+
+    def image2image(self, prompt: str, image, **kw):
+        """(B|1, H, W, 3) array in [-1, 1] → transformed images."""
+        import numpy as np
+
+        image = np.asarray(image, np.float32)
+        if image.ndim == 3:
+            image = image[None]
+        return self.pipeline.img2img(prompt, image, **{**self.gen_kw, **kw})
+
+    def text2image(self, prompt: str, **kw):
+        return self.pipeline.text2img(prompt, **{**self.gen_kw, **kw})

@@ -37,6 +37,7 @@ KNOWN_PLUGINS = (
     "retrieval",
     "memory",
     "ner",
+    "image2image",
     "asr",
     "tts",
 )

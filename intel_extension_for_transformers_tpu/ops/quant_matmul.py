@@ -59,13 +59,20 @@ def woq_matmul_ref(x: jax.Array, qt: QuantizedTensor, out_dtype=None) -> jax.Arr
     return out.astype(out_dtype)
 
 
-def _decode_nibbles(packed_i32, *, signed: bool):
-    """int32 block of packed bytes → (lo, hi) int32 nibble planes."""
-    lo = packed_i32 & 0xF
-    hi = (packed_i32 >> 4) & 0xF
+def _decode_nibbles(packed_i8, *, signed: bool):
+    """int8 block of packed bytes → (lo, hi) int32 nibble planes.
+
+    The decode is the VPU-bound part of the kernel at decode batch sizes, so
+    sign extension uses shift pairs (4 VPU ops total) instead of the
+    mask/xor/sub chain (7 ops). Mosaic has no i8 vector shifts, so lanes are
+    i32."""
+    p = packed_i8.astype(jnp.int32)
     if signed:
-        lo = (lo ^ 8) - 8
-        hi = (hi ^ 8) - 8
+        lo = (p << 28) >> 28  # arithmetic shifts sign-extend the nibble
+        hi = (p << 24) >> 28
+    else:
+        lo = p & 0xF
+        hi = (p >> 4) & 0xF
     return lo, hi
 
 
@@ -104,7 +111,7 @@ def _woq_kernel_4bit(
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    packed = w_ref[:].astype(jnp.int32)  # (TK, TN) packed bytes
+    packed = w_ref[:]  # (TK, TN) packed bytes, int8
     signed = scheme == "sym" and codebook is None
     lo, hi = _decode_nibbles(packed, signed=signed)
 
@@ -232,7 +239,10 @@ def _round_up(x: int, m: int) -> int:
 
 def _pick_tiles(M: int, N: int, K_eff: int, g: int):
     tm = min(_round_up(max(M, 1), 8), 256)
-    tn = 256 if N % 256 == 0 else 128
+    # ragged N (Falcon's 4544/4672, vocab sizes) is PADDED to the tile by the
+    # caller, so the wide tile is always legal — tn=128 halved effective
+    # bandwidth on Falcon's attention projections
+    tn = 256
     # K tile must be a multiple of the group size (and ideally of 128).
     base = max(g, 128)
     def whole_k_or_bail():
