@@ -224,3 +224,73 @@ class Image2ImagePlugin:
 
     def text2image(self, prompt: str, **kw):
         return self.pipeline.text2img(prompt, **{**self.gen_kw, **kw})
+
+
+@register_plugin("asr")
+class AsrPlugin:
+    """Whisper-class speech-to-text (reference:
+    pipeline/plugins/audio/asr.py — transformers Whisper; here the JAX
+    encoder-decoder in models/whisper.py, parity-tested vs HF to 3e-6).
+
+    Construct with `preloaded=(params, config, tokenizer)` or a HF
+    `model_name_or_path` (host-side torch conversion)."""
+
+    def __init__(
+        self,
+        preloaded=None,
+        model_name_or_path: str = "openai/whisper-tiny",
+        prompt_ids=(50258,),  # <|startoftranscript|> for real checkpoints
+        eos_token_id=None,
+        max_new_tokens: int = 128,
+    ):
+        from intel_extension_for_transformers_tpu.models import whisper as W
+
+        if preloaded is not None:
+            self.params, self.config, self.tokenizer = preloaded
+        else:
+            import transformers
+
+            hf_model = transformers.WhisperForConditionalGeneration.from_pretrained(
+                model_name_or_path
+            )
+            self.params, self.config = W.whisper_params_from_hf(hf_model)
+            self.tokenizer = transformers.WhisperTokenizer.from_pretrained(
+                model_name_or_path
+            )
+        self._W = W
+        self.prompt_ids = list(prompt_ids)
+        self.eos_token_id = eos_token_id
+        self.max_new_tokens = max_new_tokens
+
+    def audio2text(self, audio, sampling_rate: int = 16000) -> str:
+        """mono waveform in [-1, 1] → transcription."""
+        import numpy as np
+
+        mel = self._W.log_mel_spectrogram(
+            np.asarray(audio, np.float32), n_mels=self.config.num_mel_bins
+        )
+        # bound frames to the encoder's static budget (2x positions: conv s2)
+        max_frames = self.config.max_source_positions * 2
+        mel = mel[:, :max_frames]
+        if mel.shape[1] < max_frames:
+            import numpy as _np
+
+            mel = _np.pad(mel, ((0, 0), (0, max_frames - mel.shape[1])))
+        ids = self._W.whisper_generate(
+            self.params,
+            self.config,
+            mel[None],
+            np.asarray([self.prompt_ids], np.int32),
+            max_new_tokens=self.max_new_tokens,
+            eos_token_id=self.eos_token_id,
+        )[0]
+        if self.eos_token_id is not None:
+            keep = ids != self.eos_token_id
+            ids = ids[keep]
+        return self.tokenizer.decode(list(ids), skip_special_tokens=True)
+
+    # plugin pre-hook protocol: audio query → text query
+    def pre_llm_inference_actions(self, query):
+        if isinstance(query, str):
+            return query
+        return self.audio2text(query)

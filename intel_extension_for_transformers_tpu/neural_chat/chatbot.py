@@ -63,10 +63,10 @@ def build_chatbot(config: Optional[PipelineConfig] = None) -> Optional[BaseModel
             continue
         if name == "retrieval":
             _build_retrieval_plugin(plugin_args)
-        elif name in ("asr", "tts"):
+        elif name == "tts":
             logger.warning(
-                "%s plugin requires audio deps not present in this build; "
-                "plugin registered as no-op", name
+                "tts plugin requires audio synthesis deps not present in "
+                "this build; plugin registered as no-op"
             )
             enable_plugin(name)
         else:
