@@ -299,6 +299,13 @@ class ChatApp:
             )
 
             return 200, ("html", CHAT_HTML)
+        if method == "GET" and path == "/compare":
+            # A/B comparison page (reference: ui/gradio/side_by_side)
+            from intel_extension_for_transformers_tpu.neural_chat.ui import (
+                SIDE_BY_SIDE_HTML,
+            )
+
+            return 200, ("html", SIDE_BY_SIDE_HTML)
         if method == "GET" and path == "/health":
             return self.handle_health()
         if method == "GET" and path == "/v1/models" and "models" in self.api_list:

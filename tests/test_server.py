@@ -162,3 +162,13 @@ def test_chat_ui_page(server):
     body = r.read().decode()
     assert "/v1/chat/completions" in body and "NeuralChat" in body
     conn.close()
+
+
+def test_side_by_side_page(server):
+    conn = HTTPConnection("127.0.0.1", server.port, timeout=60)
+    conn.request("GET", "/compare")
+    resp = conn.getresponse()
+    body = resp.read().decode()
+    conn.close()
+    assert resp.status == 200
+    assert "side-by-side" in body and "/v1/chat/completions" in body
