@@ -307,17 +307,30 @@ def _moe_mlp(mlp, x, config: LlamaConfig):
     group_sizes = jnp.bincount(flat_expert, length=E).astype(jnp.int32)
 
     ex = mlp["experts"]
+
+    def stack(w):
+        # WOQ expert stacks ((E, K, N) int4/int8, quantize_groupwise_stacked)
+        # dequantize into the ragged_dot operand; the memory win is at rest
+        from intel_extension_for_transformers_tpu.ops.packing import (
+            QuantizedTensor,
+            dequantize_stacked,
+        )
+
+        if isinstance(w, QuantizedTensor):
+            return dequantize_stacked(w, dtype=x.dtype)
+        return w.astype(x.dtype)
+
     g = jax.lax.ragged_dot(
-        xs, ex["gate"].astype(x.dtype), group_sizes,
+        xs, stack(ex["gate"]), group_sizes,
         preferred_element_type=jnp.float32,
     )
     u = jax.lax.ragged_dot(
-        xs, ex["up"].astype(x.dtype), group_sizes,
+        xs, stack(ex["up"]), group_sizes,
         preferred_element_type=jnp.float32,
     )
     y = (jax.nn.silu(g) * u).astype(x.dtype)
     y = jax.lax.ragged_dot(
-        y, ex["down"].astype(x.dtype), group_sizes,
+        y, stack(ex["down"]), group_sizes,
         preferred_element_type=jnp.float32,
     )  # (M·k, H) f32
 

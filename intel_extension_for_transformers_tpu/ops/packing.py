@@ -226,3 +226,40 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
     if qt.pre_scale is not None:
         w = w * qt.pre_scale.astype(jnp.float32)[:, None]
     return w.astype(dtype)
+
+
+def quantize_groupwise_stacked(
+    w: jax.Array,  # (E, K, N) expert stack
+    weight_dtype: str = "int4",
+    scheme: str = "sym",
+    group_size: int = 128,
+    scale_dtype=jnp.float32,
+) -> QuantizedTensor:
+    """Quantize a stacked (E, K, N) weight (MoE expert stacks) — a vmap of
+    the 2-D path; data/scales/zeros carry the leading expert dim. K/N in the
+    metadata are per-expert. Consumed by `dequantize_stacked` at forward
+    time (ragged_dot needs a dense stack; the memory win is at rest)."""
+    if w.ndim != 3:
+        raise ValueError(f"expected (E, K, N), got {w.shape}")
+    E, K, N = w.shape
+    qt0 = jax.vmap(
+        lambda wi: quantize_groupwise(wi, weight_dtype, scheme, group_size, scale_dtype)
+    )(w)
+    return replace(qt0, K=K, N=N)
+
+
+def dequantize_stacked(qt: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
+    """Inverse of quantize_groupwise_stacked → (E, K, N)."""
+    per = QuantizedTensor(
+        data=None, scales=None, zeros=None,
+        weight_dtype=qt.weight_dtype, scheme=qt.scheme,
+        group_size=qt.group_size, K=qt.K, N=qt.N,
+    )
+
+    def deq(data, scales, zeros):
+        q = replace(per, data=data, scales=scales, zeros=zeros)
+        return dequantize(q, dtype=dtype)
+
+    if qt.zeros is None:
+        return jax.vmap(lambda d, s: deq(d, s, None))(qt.data, qt.scales)
+    return jax.vmap(deq)(qt.data, qt.scales, qt.zeros)

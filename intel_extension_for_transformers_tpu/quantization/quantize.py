@@ -141,7 +141,42 @@ def quantize_model(
 
     def convert(path, leaf):
         p = _path_str(path)
-        if any(s in p for s in skip) or not is_quantizable(p, leaf):
+        if any(s in p for s in skip):
+            return leaf
+        # MoE expert stacks: (E, K, N) leaves under .../experts/{gate,up,down}
+        if (
+            hasattr(leaf, "ndim")
+            and leaf.ndim == 3
+            and "experts" in p
+            and not isinstance(
+                config, (SmoothQuantConfig, StaticQuantConfig, DynamicQuantConfig)
+            )
+            and config.weight_dtype in ("int4", "int8", "nf4", "fp4", "fp4_e2m1")
+        ):
+            from intel_extension_for_transformers_tpu.ops.packing import (
+                quantize_groupwise_stacked,
+            )
+
+            K = leaf.shape[1]
+            gs = config.group_size if config.group_size > 0 else K
+            gs = min(gs, K)
+            bad = K % gs != 0
+            if config.weight_dtype != "int8":
+                bad = bad or K % 2 != 0 or (K // 2) % gs != 0
+            if bad:
+                logger.info(
+                    "skipping expert stack %s: K=%d vs group_size=%d", p, K, gs
+                )
+                return leaf
+            quantized_paths.append(p)
+            return quantize_groupwise_stacked(
+                leaf.astype(jnp.float32),
+                weight_dtype=config.weight_dtype,
+                scheme=config.scheme,
+                group_size=gs,
+                scale_dtype=jnp.dtype(config.scale_dtype),
+            )
+        if not is_quantizable(p, leaf):
             return leaf
         w = leaf.astype(jnp.float32)
         if isinstance(
@@ -227,6 +262,12 @@ def dequantize_model(qparams: QuantizedParams, dtype=jnp.float32):
 
     def deq(leaf):
         if isinstance(leaf, QuantizedTensor):
+            if leaf.data.ndim == 3:  # stacked MoE expert tensor
+                from intel_extension_for_transformers_tpu.ops.packing import (
+                    dequantize_stacked,
+                )
+
+                return dequantize_stacked(leaf, dtype=dtype)
             return dequantize(leaf, dtype=dtype)
         if _is_qt(leaf):  # W8A8Tensor
             from intel_extension_for_transformers_tpu.quantization.smoothquant import (

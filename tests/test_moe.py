@@ -104,3 +104,40 @@ def test_moe_expert_sharding():
     got, _ = llama_apply(sharded, MOE_CFG, ids)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=2e-4,
                                rtol=2e-4)
+
+
+def test_moe_expert_weight_only_quantization():
+    """WOQ now covers 3-D expert stacks (COVERAGE.md round-2 queue #5):
+    quantized-MoE logits must track fp32 within RTN tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from intel_extension_for_transformers_tpu.models.llama import (
+        LlamaConfig,
+        llama_apply,
+        llama_init_params,
+    )
+    from intel_extension_for_transformers_tpu.quantization import (
+        RtnConfig,
+        quantize_model,
+    )
+
+    config = LlamaConfig.tiny(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_local_experts=4, num_experts_per_tok=2,
+    )
+    params = llama_init_params(jax.random.PRNGKey(0), config)
+    q = quantize_model(params, RtnConfig(weight_dtype="int4", group_size=32))
+    # the expert stacks themselves got packed
+    assert any("experts" in p for p in q.quantized_paths), q.quantized_paths
+
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, 128, (2, 16)), jnp.int32
+    )
+    ref, _ = llama_apply(params, config, ids)
+    got, _ = llama_apply(q.params, config, ids)
+    ref = np.asarray(ref) - np.asarray(ref).max(-1, keepdims=True)
+    got = np.asarray(got) - np.asarray(got).max(-1, keepdims=True)
+    # int4 g32 RTN tolerance on a tiny random model
+    assert np.abs(ref - got).mean() < 0.5
