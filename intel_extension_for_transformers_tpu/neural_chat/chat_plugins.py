@@ -294,3 +294,49 @@ class AsrPlugin:
         if isinstance(query, str):
             return query
         return self.audio2text(query)
+
+
+@register_plugin("tts")
+class TtsPlugin:
+    """Text-to-speech (reference: pipeline/plugins/audio/tts.py — SpeechT5
+    pipeline). Here: the FastSpeech-style mel generator + Griffin-Lim
+    vocoder in models/tts.py — the vocoder is pure DSP and fully functional;
+    the mel generator runs random-init until a trained checkpoint is loaded
+    via `preloaded=(params, config)`."""
+
+    def __init__(self, preloaded=None, sample_rate: int = 16000,
+                 vocoder_iters: int = 32):
+        import jax
+
+        from intel_extension_for_transformers_tpu.models import tts as T
+
+        if preloaded is not None:
+            self.params, self.config = preloaded
+        else:
+            self.config = T.TTSConfig()
+            self.params = T.tts_init_params(jax.random.PRNGKey(0), self.config)
+        self._T = T
+        self.sample_rate = sample_rate
+        self.vocoder_iters = vocoder_iters
+
+    def text2speech(self, text: str):
+        """→ (waveform float32 [-1, 1], sample_rate)."""
+        import numpy as np
+
+        ids = np.frombuffer(
+            text.encode("utf-8", errors="replace"), np.uint8
+        ).astype(np.int32)[: self.config.max_text_len]
+        if len(ids) == 0:
+            ids = np.zeros((1,), np.int32)
+        mel, total, _ = self._T.tts_apply(self.params, self.config, ids[None])
+        n = int(total[0])
+        wav = self._T.griffin_lim(
+            mel[0, : max(n, 1)],
+            iters=self.vocoder_iters,
+            n_mels=self.config.n_mels,
+        )
+        return np.asarray(wav), self.sample_rate
+
+    # plugin post-hook protocol: attach audio alongside the text response
+    def post_llm_inference_actions(self, response: str):
+        return response

@@ -63,12 +63,6 @@ def build_chatbot(config: Optional[PipelineConfig] = None) -> Optional[BaseModel
             continue
         if name == "retrieval":
             _build_retrieval_plugin(plugin_args)
-        elif name == "tts":
-            logger.warning(
-                "tts plugin requires audio synthesis deps not present in "
-                "this build; plugin registered as no-op"
-            )
-            enable_plugin(name)
         else:
             enable_plugin(name, **plugin_args)
 

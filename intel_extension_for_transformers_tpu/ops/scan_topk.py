@@ -1,0 +1,139 @@
+"""Fused similarity-scan + partial top-k Pallas kernel for dense retrieval.
+
+The (B, N) score matrix is the bandwidth bottleneck of flat search at large
+batch: materializing it costs 2·B·N·4 bytes of HBM traffic (write + top-k
+read) — ~3.3 GB per 4096-query batch over 100k docs, which caps QPS at
+~300-400k on a v5e chip. This kernel never materializes it:
+
+  grid (B/Bt, N/Nt); each cell computes the (Bt, Nt) score tile in VMEM on
+  the MXU and reduces it to the tile's TOP-2 scores + global doc ids per
+  query — output is (2·N/Nt, B) ≈ 25 MB instead of 1.6 GB (queries on the
+  128-lane axis so the tiny per-tile outputs stay lane-aligned). A cheap
+  XLA top-k over the tile winners then yields the oversample candidate set
+  for the exact rescore stage (retrieval/index.py two-tier search).
+
+Why top-2 per tile: one winner per tile loses a true top-10 member whenever
+two land in the same tile (≈5-12% of queries at Nt=256..512, N=100k); two
+winners make a 3-in-one-tile collision the failure mode, which is rare
+enough that top-32-of-winners containment ≥ 0.99. The reduction uses only
+max / where / iota (no in-kernel sort), which Mosaic lowers natively.
+
+Traffic: docs read ONCE (2·N·D bytes bf16) + queries once per N sweep → the
+scan is MXU-bound at large B (B·N·D·2 flops), the speed-of-light regime for
+this problem (cf. the TPU-KNN "at peak FLOP/s" formulation).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _scan_top2_kernel(size_ref, q_ref, w_ref, v_ref, i_ref, *, n_tile: int):
+    """One (Bt, Nt) tile: MXU scores → per-query top-2 (vals, global ids)."""
+    j = pl.program_id(1)
+    s = jax.lax.dot_general(
+        q_ref[:],
+        w_ref[:],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Bt, Nt)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    gcol = col + j * n_tile
+    s = jnp.where(gcol < size_ref[0], s, -jnp.inf)
+
+    m1 = jnp.max(s, axis=1, keepdims=True)  # (Bt, 1)
+    # argmax via masked iota-max (Mosaic-native; ties → highest index);
+    # the finite-guard keeps fully-masked tiles at id -1 (-inf == -inf)
+    finite = s > -jnp.inf
+    a1 = jnp.max(jnp.where((s == m1) & finite, gcol, -1), axis=1)  # (Bt,)
+    s2 = jnp.where(gcol == a1[:, None], -jnp.inf, s)
+    m2 = jnp.max(s2, axis=1, keepdims=True)
+    a2 = jnp.max(jnp.where((s2 == m2) & (s2 > -jnp.inf), gcol, -1), axis=1)
+
+    # Mosaic block rows must be 8-aligned: rows 0-1 carry (top1, top2),
+    # rows 2-7 are -inf / -1 filler the host slices away
+    neg = jnp.full_like(m1[:, 0], -jnp.inf)
+    v_ref[:] = jnp.stack([m1[:, 0], m2[:, 0]] + [neg] * 6, axis=0)  # (8, Bt)
+    none = jnp.full_like(a1, -1)
+    i_ref[:] = jnp.stack([a1, a2] + [none] * 6, axis=0).astype(jnp.int32)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("b_tile", "n_tile", "interpret"))
+def scan_top2(
+    queries: jax.Array,  # (B, D) — cast to bf16 for the MXU
+    docs: jax.Array,  # (N, D) bf16 (row-major doc matrix, e.g. the shadow)
+    size,  # () int32 — valid row count (≤ N)
+    *,
+    b_tile: int = 256,
+    n_tile: int = 512,
+    interpret: Optional[bool] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """→ (vals (B, 2T) f32, ids (B, 2T) i32), T = ceil(N / n_tile).
+
+    Invalid/padded rows carry -inf vals and id -1."""
+    if interpret is None:
+        from intel_extension_for_transformers_tpu.utils.device import (
+            use_pallas_interpret,
+        )
+
+        interpret = use_pallas_interpret()
+
+    B, D = queries.shape
+    N = docs.shape[0]
+    b_tile = min(b_tile, _round_up(B, 128))
+    Bp, Np = _round_up(B, b_tile), _round_up(N, n_tile)
+    q = queries.astype(jnp.bfloat16)
+    if Bp != B:
+        q = jnp.pad(q, ((0, Bp - B), (0, 0)))
+    w = docs.astype(jnp.bfloat16)
+    if Np != N:
+        w = jnp.pad(w, ((0, Np - N), (0, 0)))
+    T = Np // n_tile
+    grid = (Bp // b_tile, T)
+
+    vals, ids = pl.pallas_call(
+        functools.partial(_scan_top2_kernel, n_tile=n_tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((b_tile, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tile, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, b_tile), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, b_tile), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8 * T, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((8 * T, Bp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(size, jnp.int32).reshape(1), q, w)
+    # drop the 6 filler rows per tile, put queries back on axis 0
+    vals = vals.reshape(T, 8, Bp)[:, :2].reshape(2 * T, Bp)
+    ids = ids.reshape(T, 8, Bp)[:, :2].reshape(2 * T, Bp)
+    return vals[:, :B].T, ids[:, :B].T
+
+
+def scan_topk_candidates(
+    queries, docs, size, m: int, **kw
+) -> tuple[jax.Array, jax.Array]:
+    """Fused-scan oversampling: → (scores (B, m), ids (B, m)) — the top-m of
+    the per-tile winners (exact scores; containment of the true top-k is
+    governed by the top-2-per-tile collision rate)."""
+    vals, ids = scan_top2(queries, docs, size, **kw)
+    m = min(m, vals.shape[1])
+    best, pos = jax.lax.top_k(vals, m)
+    return best, jnp.take_along_axis(ids, pos, axis=1)

@@ -236,14 +236,14 @@ def _int4_search(
     else:
         _, cand = jax.lax.approx_max_k(sims, m, recall_target=recall_target)
     cvecs = jnp.take(shadow, cand, axis=0)  # (B, m, D)
+    # the shadow stores FULL rotated vectors (pre-centering), so this dot is
+    # already the true inner product — no mean correction here
     rescored = jnp.einsum(
         "bd,bmd->bm",
         qrot.astype(jnp.float32),
         cvecs.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
-    if mean is not None:
-        rescored = rescored + (qrot @ mean)[:, None]
     best, pos = jax.lax.top_k(rescored, k)
     return best, jnp.take_along_axis(cand, pos, axis=1)
 
@@ -490,6 +490,13 @@ class FlatIndex:
         if self.metric == "cosine":
             queries = _l2_normalize(queries)
         k = min(k, self.size)
+        fused = self._fused_scan_search(queries, k, method, oversample)
+        if fused is not None:
+            scores, ids = fused
+            scores, ids = np.asarray(scores), np.asarray(ids)
+            if squeeze:
+                return scores[0], ids[0]
+            return scores, ids
         valid = jnp.arange(self._capacity) < self.size
         if self.dtype == "int4":
             qrot = queries.astype(jnp.float32)
@@ -536,6 +543,35 @@ class FlatIndex:
         if squeeze:
             return scores[0], ids[0]
         return scores, ids
+
+    def _fused_scan_search(self, queries, k, method, oversample):
+        """Transparent fast path: the fused Pallas scan+top-2 kernel
+        (ops/scan_topk.py) replaces the materialized (B, N) score pass for
+        approx_rescore on bf16/f32 indexes and on int4 indexes with a bf16
+        shadow. Returns None when not applicable (CPU/interpret, tiny
+        batches where dispatch overhead dominates, int8 scaling)."""
+        if method != "approx_rescore" or not _use_pallas():
+            return None
+        B = queries.shape[0]
+        if B < 64 or self.size < 4096:
+            return None
+        if self.dtype in ("float32", "bfloat16"):
+            docs = self._vectors
+            q = queries
+        elif self.dtype == "int4" and self._shadow is not None:
+            docs = self._shadow
+            q = queries.astype(jnp.float32)
+            if self._rotation is not None:
+                q = q @ self._rotation  # shadow lives in rotated space
+        else:
+            return None
+        from intel_extension_for_transformers_tpu.ops.scan_topk import (
+            scan_topk_candidates,
+        )
+
+        m = max(oversample, k)
+        scores, ids = scan_topk_candidates(q, docs, jnp.int32(self.size), m=m)
+        return scores[:, :k], ids[:, :k]
 
     # -- persistence (reference: Chroma persist/reload, chroma.py:118-238) --
     def save(self, path: str) -> None:
@@ -1068,14 +1104,13 @@ def _sharded_int4_search(
             else:
                 _, cand = jax.lax.approx_max_k(sims, m, recall_target=recall_target)
             cvecs = jnp.take(sh, cand, axis=0)
+            # shadow rows are full (uncentered) rotated vectors: true IP
             rescored = jnp.einsum(
                 "bd,bmd->bm",
                 q.astype(jnp.float32),
                 cvecs.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
             )
-            if has_mean:
-                rescored = rescored + (q @ mu)[:, None]
             # invalid slots may be re-picked by rescore: mask via gathered ids
             cand_ids = jnp.take(rid, cand)
             rescored = jnp.where(cand_ids >= 0, rescored, -jnp.inf)

@@ -203,3 +203,37 @@ def test_sharded_ivf(mesh8, data):
     assert len(siv) == 20_000
     _, ids = siv.search(q, k=K, nprobe=4)
     assert recall_at_k(ids, oracle) >= 0.95
+
+
+def test_fused_scan_topk_candidates():
+    """ops/scan_topk.py: per-tile top-2 candidates must contain the true
+    top-10 and carry exact (bf16-rounded) scores; masked tails excluded."""
+    import jax.numpy as jnp
+
+    from intel_extension_for_transformers_tpu.ops.scan_topk import (
+        scan_topk_candidates,
+    )
+
+    rng = np.random.default_rng(0)
+    n, d, b = 8192, 128, 64
+    docs = rng.normal(size=(n, d)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    vals, ids = scan_topk_candidates(
+        jnp.asarray(q), jnp.asarray(docs), jnp.int32(n), m=32, n_tile=256
+    )
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    oracle = exact_topk(docs, q, 10)
+    contain = np.mean([len(set(ids[i]) & set(oracle[i])) / 10 for i in range(b)])
+    assert contain >= 0.99, contain
+    true = q @ docs.T
+    np.testing.assert_allclose(
+        np.take_along_axis(true, ids, 1), vals, atol=5e-3
+    )
+    # masking: a partially-filled index never returns tail ids
+    _, ids2 = scan_topk_candidates(
+        jnp.asarray(q), jnp.asarray(docs), jnp.int32(1000), m=8, n_tile=256
+    )
+    assert int(np.asarray(ids2).max()) < 1000
