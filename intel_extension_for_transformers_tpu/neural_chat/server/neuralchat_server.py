@@ -107,7 +107,7 @@ class ChatApp:
 
     def __init__(
         self, chatbot, model_name: str, api_list=None, engine=None,
-        askdoc=None, finetune=None,
+        askdoc=None, finetune=None, media=None,
     ):
         self.chatbot = chatbot
         self.model_name = model_name
@@ -115,6 +115,7 @@ class ChatApp:
         self.engine = engine
         self.askdoc = askdoc  # AskDocRouter (task "retrieval"/"askdoc")
         self.finetune = finetune  # FinetuneRouter (task "finetune")
+        self.media = media  # MediaRouter (tasks "voicechat"/"text2image")
         self._gen_lock = threading.Lock()
 
     # ------------------------------ engine path ------------------------------
@@ -332,6 +333,18 @@ class ChatApp:
                 return self.askdoc.chat(body or {})
             if method == "GET" and path == "/v1/askdoc/kbs":
                 return self.askdoc.list_kbs()
+        # -- media routers (reference: restful/api.py 'voicechat'/'text2image') --
+        if self.media is not None:
+            if (
+                method == "POST" and path == "/v1/voicechat"
+                and "voicechat" in self.api_list
+            ):
+                return self.media.voicechat(body or {})
+            if (
+                method == "POST" and path == "/v1/text2image"
+                and "text2image" in self.api_list
+            ):
+                return self.media.text2image(body or {})
         # -- finetune router (reference: restful/api.py 'finetune') --
         if self.finetune is not None:
             if method == "POST" and path == "/v1/finetune":
@@ -450,7 +463,7 @@ class NeuralChatServerExecutor:
         serving = config.get("serving_config") or {}
         if serving.get("continuous_batching"):
             engine = self._build_engine(serving)
-        askdoc = finetune = None
+        askdoc = finetune = media = None
         if {"retrieval", "askdoc"} & set(api_list):
             askdoc = self._build_askdoc(config)
         if "finetune" in api_list:
@@ -459,6 +472,12 @@ class NeuralChatServerExecutor:
             )
 
             finetune = FinetuneRouter(self.chatbot)
+        if {"voicechat", "text2image"} & set(api_list):
+            from intel_extension_for_transformers_tpu.neural_chat.server.routers import (
+                MediaRouter,
+            )
+
+            media = MediaRouter(self.chatbot)
         self.app = ChatApp(
             self.chatbot,
             pipeline.model_name_or_path,
@@ -466,6 +485,7 @@ class NeuralChatServerExecutor:
             engine=engine,
             askdoc=askdoc,
             finetune=finetune,
+            media=media,
         )
         return True
 

@@ -5,8 +5,9 @@ Re-creation of the reference's per-task REST routers
 (reference: neural_chat/server/restful/api.py:39-51 maps 11 routers; the two
 that matter for a RAG-north-star framework are `retrieval/askdoc` —
 restful/retrieval_api.py create/append/chat — and `finetune` —
-restful/finetune_api.py). The heavy media routers (text2image, voicechat,
-faceanimation, photoai) stay behind their optional plugins.
+restful/finetune_api.py). `MediaRouter` serves voicechat (ASR → chat →
+optional TTS) and text2image over the real asr/tts/image2image plugins;
+faceanimation/photoai stay out of scope.
 
 Design: plain handler classes returning (status, payload) that ChatApp.route
 dispatches — same contract as the OpenAI handlers, no framework dependency.
@@ -206,3 +207,83 @@ class FinetuneRouter:
             return 200, job
         with self._lock:
             return 200, {"jobs": list(self._jobs.values())}
+
+
+class MediaRouter:
+    """voicechat + text2image task routers (reference: restful/api.py:39-51
+    'voicechat', 'text2image'; voicechat_api.py / text2image_api.py).
+
+    Wire format: raw float32 arrays as base64 (no PIL/soundfile deps) —
+    audio is 16 kHz mono PCM in [-1, 1]; images are (H, W, 3) in [-1, 1]."""
+
+    def __init__(self, chatbot):
+        self._chatbot = chatbot
+
+    @staticmethod
+    def _b64_to_array(b64: str, dtype="float32"):
+        import base64
+
+        import numpy as np
+
+        return np.frombuffer(base64.b64decode(b64), dtype=dtype)
+
+    @staticmethod
+    def _array_to_b64(arr) -> str:
+        import base64
+
+        import numpy as np
+
+        return base64.b64encode(np.ascontiguousarray(arr, np.float32).tobytes()).decode()
+
+    def voicechat(self, body: dict):
+        """POST /v1/voicechat {audio_b64, tts?} → {asr_text, response,
+        audio_b64?, sample_rate?}."""
+        from intel_extension_for_transformers_tpu.neural_chat.plugins import (
+            get_plugin_instance,
+        )
+
+        asr = get_plugin_instance("asr")
+        if asr is None:
+            return 503, {"error": "asr plugin not enabled"}
+        if not body.get("audio_b64"):
+            return 400, {"error": "need audio_b64 (base64 float32 PCM @16k)"}
+        audio = self._b64_to_array(body["audio_b64"])
+        text = asr.audio2text(audio)
+        out = {"asr_text": text}
+        if body.get("generate", True):
+            out["response"] = self._chatbot.predict(text or " ")
+        if body.get("tts"):
+            tts = get_plugin_instance("tts")
+            if tts is None:
+                return 503, {"error": "tts plugin not enabled"}
+            wav, sr = tts.text2speech(out.get("response", text))
+            out["audio_b64"] = self._array_to_b64(wav)
+            out["sample_rate"] = sr
+        return 200, out
+
+    def text2image(self, body: dict):
+        """POST /v1/text2image {prompt, steps?, guidance?} → {image_b64,
+        shape}."""
+        from intel_extension_for_transformers_tpu.neural_chat.plugins import (
+            get_plugin_instance,
+        )
+
+        sd = get_plugin_instance("image2image")
+        if sd is None:
+            return 503, {"error": "image2image plugin not enabled"}
+        prompt = body.get("prompt") or ""
+        if not prompt:
+            return 400, {"error": "prompt must be non-empty"}
+        kw = {}
+        if body.get("steps"):
+            kw["num_inference_steps"] = int(body["steps"])
+        if body.get("guidance"):
+            kw["guidance_scale"] = float(body["guidance"])
+        if body.get("seed") is not None:
+            kw["seed"] = int(body["seed"])
+        img = sd.text2image(prompt, **kw)[0]
+        return 200, {
+            "image_b64": self._array_to_b64(img),
+            "shape": list(img.shape),
+            "dtype": "float32",
+        }

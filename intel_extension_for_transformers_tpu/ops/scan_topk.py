@@ -45,6 +45,8 @@ def _scan_top2_kernel(size_ref, q_ref, w_ref, v_ref, i_ref, *, n_tile: int):
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (Bt, Nt)
+    # (a bf16 reduction would halve the VPU passes but trips a Mosaic
+    # relayout bug on the i1 comparison masks — stays f32)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     gcol = col + j * n_tile
     s = jnp.where(gcol < size_ref[0], s, -jnp.inf)
@@ -77,7 +79,7 @@ def scan_top2(
     size,  # () int32 — valid row count (≤ N)
     *,
     b_tile: int = 256,
-    n_tile: int = 512,
+    n_tile: int = 1024,
     interpret: Optional[bool] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """→ (vals (B, 2T) f32, ids (B, 2T) i32), T = ceil(N / n_tile).

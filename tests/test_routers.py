@@ -3,6 +3,7 @@ missing #3: reference maps 11 routers, restful/api.py:39-51; these are the
 two that matter for the RAG north star)."""
 
 import json
+import numpy as np
 import time
 from http.client import HTTPConnection
 
@@ -150,4 +151,86 @@ def test_finetune_job_lifecycle(server):
 
 def test_finetune_rejects_empty(server):
     status, out = _req(server, "POST", "/v1/finetune", {})
+    assert status == 400
+
+
+@pytest.fixture(scope="module")
+def media_server():
+    reset_plugins()
+    import jax as _jax
+
+    from intel_extension_for_transformers_tpu.models.tts import (
+        TTSConfig,
+        tts_init_params,
+    )
+    from intel_extension_for_transformers_tpu.models.whisper import (
+        WhisperConfig,
+        whisper_init_params,
+    )
+
+    config = LlamaConfig.tiny(vocab_size=260)
+    params = llama_init_params(_jax.random.PRNGKey(0), config)
+    wcfg = WhisperConfig.test()
+    wparams = whisper_init_params(_jax.random.PRNGKey(1), wcfg)
+    tcfg = TTSConfig.test()
+    tparams = tts_init_params(_jax.random.PRNGKey(2), tcfg)
+
+    executor = NeuralChatServerExecutor()
+    ok = executor.init(
+        {
+            "host": "127.0.0.1",
+            "port": 0,
+            "model_name_or_path": "tiny-media",
+            "tasks_list": ["textchat", "health", "voicechat", "text2image"],
+            "loading_config": {"preloaded": (params, config, ByteTokenizer())},
+            "generation_config": {"max_new_tokens": 4, "do_sample": False,
+                                  "repetition_penalty": 1.0},
+            "plugins": {
+                "asr": {"preloaded": (wparams, wcfg, ByteTokenizer()),
+                        "prompt_ids": [65], "max_new_tokens": 4},
+                "tts": {"preloaded": (tparams, tcfg), "vocoder_iters": 2},
+                "image2image": {"config": "tiny", "num_inference_steps": 2},
+            },
+        }
+    )
+    assert ok
+    executor.run(block=False)
+    yield executor
+    executor.stop()
+    reset_plugins()
+
+
+def test_voicechat_router(media_server):
+    import base64
+
+    audio = np.sin(np.linspace(0, 440 * 2 * np.pi, 4000)).astype(np.float32)
+    status, out = _req(
+        media_server, "POST", "/v1/voicechat",
+        {"audio_b64": base64.b64encode(audio.tobytes()).decode(), "tts": True},
+        timeout=300,
+    )
+    assert status == 200, out
+    assert "asr_text" in out and "response" in out
+    assert "audio_b64" in out and out["sample_rate"] == 16000
+    wav = np.frombuffer(base64.b64decode(out["audio_b64"]), np.float32)
+    assert len(wav) > 0 and np.isfinite(wav).all()
+
+
+def test_text2image_router(media_server):
+    import base64
+
+    status, out = _req(
+        media_server, "POST", "/v1/text2image",
+        {"prompt": "a tiny tpu", "steps": 2}, timeout=300,
+    )
+    assert status == 200, out
+    img = np.frombuffer(base64.b64decode(out["image_b64"]), np.float32)
+    assert list(np.array(out["shape"])) == [32, 32, 3]
+    assert img.size == 32 * 32 * 3 and np.isfinite(img).all()
+
+
+def test_media_router_errors(media_server):
+    status, out = _req(media_server, "POST", "/v1/voicechat", {})
+    assert status == 400
+    status, out = _req(media_server, "POST", "/v1/text2image", {})
     assert status == 400
