@@ -79,20 +79,33 @@ def main() -> None:
     _, got = idx.search(queries, k=K, method="approx_rescore", oversample=OVERSAMPLE)
     recall = recall_at_k(got, exact_topk(docs, queries, K))
 
-    # QPS: the same search program FlatIndex.search dispatches, looped
-    # on-device with PRNG queries
+    # QPS: the same search program FlatIndex.search dispatches at batch —
+    # on TPU the fused Pallas scan+top-2 kernel (ops/scan_topk.py), which
+    # never materializes the (B, N) score matrix; else the materialized path
     valid = jnp.arange(idx._capacity) < idx.size
     rot = idx._rotation
     use_pallas = _use_pallas()
+    size = jnp.int32(idx.size)
 
-    def search_batch(q):
-        qrot = q.astype(jnp.float32) @ rot
-        return _int4_search(
-            qrot, idx._data, idx._scales, None, None, idx._mean, valid,
-            idx._shadow, k=K, method="approx_rescore", recall_target=0.95,
-            group_size=idx.group_size, use_pallas=use_pallas,
-            oversample=OVERSAMPLE,
+    if use_pallas:
+        from intel_extension_for_transformers_tpu.ops.scan_topk import (
+            scan_topk_candidates,
         )
+
+        def search_batch(q):
+            qrot = q.astype(jnp.float32) @ rot
+            s, ids = scan_topk_candidates(qrot, idx._shadow, size, m=OVERSAMPLE)
+            return s[:, :K], ids[:, :K]
+    else:
+
+        def search_batch(q):
+            qrot = q.astype(jnp.float32) @ rot
+            return _int4_search(
+                qrot, idx._data, idx._scales, None, None, idx._mean, valid,
+                idx._shadow, k=K, method="approx_rescore", recall_target=0.95,
+                group_size=idx.group_size, use_pallas=use_pallas,
+                oversample=OVERSAMPLE,
+            )
 
     @jax.jit
     def bench_loop(seed):
