@@ -113,6 +113,91 @@ def _engine_step(
     return nxt, cache, rng, seen
 
 
+@partial(jax.jit, static_argnames=("config", "draft_config", "gamma"))
+def _spec_engine_step(
+    params, config, draft_params, draft_config, cache, draft_cache,
+    tokens, rng,
+    temperature, top_k, top_p, do_sample, rep_penalty, seen, gamma: int,
+):
+    """One SPECULATIVE decode step for all slots (draft-and-verify).
+
+    Reference analogue: assistant-model speculative decoding
+    (transformers/modeling/modeling_auto.py generation kwargs) — here fused
+    into the continuous-batching pool: the draft proposes `gamma` tokens per
+    slot (greedy, one lax.scan), the target verifies all of them in ONE
+    batched (gamma+1)-token forward, and each slot advances by its own
+    accepted length n+1 ∈ [1, gamma+1]. Greedy slots are bit-exact vs plain
+    decoding (accept while draft == target argmax); sampled or
+    repetition-penalized slots force n=0 and take the target's l0 sample —
+    also bit-exact vs `_engine_step`.
+
+    Returns (out_tokens (B, gamma+1), out_count (B,), next tokens, caches,
+    rng, seen). Dirty KV entries past each slot's accepted length are
+    overwritten by later writes and masked meanwhile (position mask).
+    """
+    apply_fn = get_apply_fn(config)
+    draft_apply = get_apply_fn(draft_config)
+    B = tokens.shape[0]
+
+    # 1. draft: gamma+1 greedy steps — proposes d1..dgamma and PROCESSES
+    # t0..dgamma so its cache stays one-feed-per-token aligned with the
+    # target's accepted history (the last proposal is discarded)
+    def draft_one(carry, _):
+        dcache, tok = carry
+
+        def one(cs, t):
+            logits, nc = draft_apply(draft_params, draft_config, t[None, None], cs)
+            return logits[0, -1], nc
+
+        logits, dcache = jax.vmap(one)(dcache, tok)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (dcache, nxt), nxt
+
+    (draft_cache, _), proposals = jax.lax.scan(
+        draft_one, (draft_cache, tokens), None, length=gamma + 1
+    )
+    drafts = proposals[:gamma].T  # (B, gamma) = d1..dgamma
+
+    # 2. target verifies [t0, d1..dgamma] in one (gamma+1)-token forward
+    seq = jnp.concatenate([tokens[:, None], drafts], axis=1)  # (B, gamma+1)
+
+    def onev(cs, s):
+        logits, nc = apply_fn(params, config, s[None], cs)
+        return logits[0].astype(jnp.float32), nc
+
+    logits, cache = jax.vmap(onev)(cache, seq)  # (B, gamma+1, V)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # g0..ggamma
+
+    # n = longest accepted prefix (d_{i+1} == g_i); sampling/penalty → n=0
+    ok = (drafts == greedy[:, :gamma]).astype(jnp.int32)
+    n = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)  # (B,)
+    spec_ok = (~do_sample) & (rep_penalty == 1.0)
+    n = jnp.where(spec_ok, n, 0)
+
+    # correction/extension token: g_n for greedy slots, per-slot sample of
+    # l0 for the forced-n=0 slots
+    rng, sub = jax.random.split(rng)
+    sampled0 = sample_logits_per_slot(
+        logits[:, 0], sub, temperature, top_k, top_p, do_sample, rep_penalty, seen
+    )
+    gn = jnp.take_along_axis(greedy, n[:, None], axis=1)[:, 0]
+    nxt = jnp.where(spec_ok, gn, sampled0)
+
+    # emitted tokens this step: d1..dn then nxt (count n+1)
+    pos = jnp.arange(gamma + 1)[None, :]
+    out_tokens = jnp.concatenate([drafts, jnp.zeros((B, 1), jnp.int32)], axis=1)
+    out_tokens = jnp.where(pos == n[:, None], nxt[:, None], out_tokens)
+    out_count = n + 1
+
+    # roll cache lengths back to the accepted history (both advanced gamma+1)
+    cache = replace(cache, length=cache.length - gamma + n)
+    draft_cache = replace(draft_cache, length=draft_cache.length - gamma + n)
+
+    emitted_hot = jax.nn.one_hot(out_tokens, seen.shape[-1], dtype=jnp.bool_)
+    seen = seen | jnp.any(emitted_hot & (pos <= n[:, None])[..., None], axis=1)
+    return out_tokens, out_count, nxt, cache, draft_cache, rng, seen
+
+
 @partial(jax.jit, static_argnames=("config", "max_len"))
 def _engine_prefill(params, config, ids, true_len, max_len: int):
     """Prefill ONE request into a fresh single-slot cache.
@@ -208,21 +293,34 @@ class DecodeEngine:
         max_len: int = 1024,
         prompt_buckets: tuple[int, ...] = (32, 64, 128, 256, 512),
         seed: int = 0,
+        draft_params=None,
+        draft_config=None,
+        num_speculative_tokens: int = 4,
     ):
         self.params = params
         self.config = config
         self.max_slots = max_slots
         self.max_len = max_len
         self.prompt_buckets = tuple(sorted(prompt_buckets))
+        self.draft_params = draft_params
+        self.draft_config = draft_config
+        self.gamma = int(num_speculative_tokens)
+        if (draft_params is None) != (draft_config is None):
+            raise ValueError("draft_params and draft_config go together")
         V = config.vocab_size
 
-        # batched per-slot state (slot axis 0 on every leaf)
-        base = init_kv_cache(config, 1, max_len)
-        self._cache = jax.tree.map(
-            lambda x: jnp.broadcast_to(x[None], (max_slots,) + x.shape).copy()
-            if hasattr(x, "shape") and x.ndim
-            else jnp.zeros((max_slots,), jnp.int32),
-            base,
+        def batched_cache(cfg):
+            base = init_kv_cache(cfg, 1, max_len)
+            return jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (max_slots,) + x.shape).copy()
+                if hasattr(x, "shape") and x.ndim
+                else jnp.zeros((max_slots,), jnp.int32),
+                base,
+            )
+
+        self._cache = batched_cache(config)
+        self._draft_cache = (
+            batched_cache(draft_config) if draft_config is not None else None
         )
         self._tokens = jnp.zeros((max_slots,), jnp.int32)
         self._seen = jnp.zeros((max_slots, V), jnp.bool_)
@@ -311,6 +409,15 @@ class DecodeEngine:
         self._cache, self._seen = _insert_slot(
             self._cache, slot_cache, jnp.int32(slot), self._seen, seen_row
         )
+        if self._draft_cache is not None:
+            _, dslot_cache, _ = _engine_prefill(
+                self.draft_params, self.draft_config,
+                jnp.asarray(padded), true_len, self.max_len,
+            )
+            self._draft_cache, self._seen = _insert_slot(
+                self._draft_cache, dslot_cache, jnp.int32(slot),
+                self._seen, seen_row,
+            )
         self._tokens = self._tokens.at[slot].set(tok)
         self._slots[slot] = req
         self._emitted[slot] = 0
@@ -329,8 +436,10 @@ class DecodeEngine:
             self._emitted[slot] += 1
             if self._emitted[slot] >= req.max_new_tokens:
                 done = True
-        # slot position exhaustion: cache is full
-        if not done and self._emitted[slot] + len(req.prompt_ids) >= self.max_len - 1:
+        # slot position exhaustion: cache is full (speculative steps write up
+        # to gamma+1 positions at once, so they need that much headroom)
+        headroom = (self.gamma + 1) if self._draft_cache is not None else 1
+        if not done and self._emitted[slot] + len(req.prompt_ids) >= self.max_len - headroom:
             done = True
         if done:
             req.out.put(EngineRequest._DONE)
@@ -354,24 +463,47 @@ class DecodeEngine:
                     self._wake.clear()
                 continue
             # one decode step for the whole pool
-            self._tokens, self._cache, self._rng, self._seen = _engine_step(
-                self.params,
-                self.config,
-                self._cache,
-                self._tokens,
-                self._rng,
-                jnp.asarray(self._temp),
-                jnp.asarray(self._topk),
-                jnp.asarray(self._topp),
-                jnp.asarray(self._dos),
-                jnp.asarray(self._rep),
-                self._seen,
-            )
-            self._steps += 1
-            toks = np.asarray(self._tokens)
-            for slot in range(self.max_slots):
-                if self._slots[slot] is not None:
-                    self._emit(slot, int(toks[slot]))
+            if self._draft_cache is not None:
+                (out_tokens, out_count, self._tokens, self._cache,
+                 self._draft_cache, self._rng, self._seen) = _spec_engine_step(
+                    self.params, self.config,
+                    self.draft_params, self.draft_config,
+                    self._cache, self._draft_cache,
+                    self._tokens, self._rng,
+                    jnp.asarray(self._temp),
+                    jnp.asarray(self._topk),
+                    jnp.asarray(self._topp),
+                    jnp.asarray(self._dos),
+                    jnp.asarray(self._rep),
+                    self._seen,
+                    self.gamma,
+                )
+                self._steps += 1
+                ot, oc = np.asarray(out_tokens), np.asarray(out_count)
+                for slot in range(self.max_slots):
+                    for j in range(int(oc[slot])):
+                        if self._slots[slot] is None:
+                            break  # EOS/limit mid-step: drop the tail
+                        self._emit(slot, int(ot[slot, j]))
+            else:
+                self._tokens, self._cache, self._rng, self._seen = _engine_step(
+                    self.params,
+                    self.config,
+                    self._cache,
+                    self._tokens,
+                    self._rng,
+                    jnp.asarray(self._temp),
+                    jnp.asarray(self._topk),
+                    jnp.asarray(self._topp),
+                    jnp.asarray(self._dos),
+                    jnp.asarray(self._rep),
+                    self._seen,
+                )
+                self._steps += 1
+                toks = np.asarray(self._tokens)
+                for slot in range(self.max_slots):
+                    if self._slots[slot] is not None:
+                        self._emit(slot, int(toks[slot]))
 
     # ----------------------------- conveniences -----------------------------
 

@@ -233,7 +233,7 @@ def init_kv_cache(
 
 
 def _decoder_layer(layer, x, config: LlamaConfig, cos, sin, mask, cache_k,
-                   cache_v, start, use_flash: bool = False):
+                   cache_v, start, use_flash: bool = False, ring=None):
     B, T, h = x.shape
     nh = config.num_attention_heads
     nkv = config.num_key_value_heads
@@ -260,7 +260,20 @@ def _decoder_layer(layer, x, config: LlamaConfig, cos, sin, mask, cache_k,
     else:
         k_all, v_all = k, v
 
-    if use_flash:
+    if ring is not None:
+        # sequence-parallel exact attention: T shards over the mesh `sp`
+        # axis, K/V blocks rotate the ICI ring (ops/ring_attention.py)
+        from intel_extension_for_transformers_tpu.ops.ring_attention import (
+            ring_attention,
+        )
+
+        if nkv != nh:  # GQA: ring kernel attends per-head, repeat KV
+            k_all = jnp.repeat(k_all, nh // nkv, axis=2)
+            v_all = jnp.repeat(v_all, nh // nkv, axis=2)
+        ctx = ring_attention(
+            q, k_all, v_all, mesh=ring[0], axis=ring[1], causal=True
+        ).reshape(B, T, h)
+    elif use_flash:
         from intel_extension_for_transformers_tpu.ops.flash_attention import (
             flash_attention,
         )
@@ -339,13 +352,16 @@ def _moe_mlp(mlp, x, config: LlamaConfig):
     return out.astype(x.dtype).reshape(B, T, H)
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "ring_mesh", "ring_axis"))
 def llama_apply(
     params: dict,
     config: LlamaConfig,
     input_ids: jax.Array,  # (B, T)
     cache: Optional[KVCache] = None,
     attention_mask: Optional[jax.Array] = None,  # (B, S_total) 1=valid
+    *,
+    ring_mesh=None,  # jax.sharding.Mesh → ring-attention SP training forward
+    ring_axis: str = "sp",
 ) -> tuple[jax.Array, Optional[KVCache]]:
     """Forward → (logits (B, T, V), updated cache).
 
@@ -353,6 +369,11 @@ def llama_apply(
     With cache: writes K/V at [cache.length, cache.length+T) and attends over
     the full static buffer with position masking — same program for prefill
     (T=prompt) and decode (T=1).
+    With ring_mesh (no cache, no attention_mask): sequence-parallel training
+    forward — shard input_ids' T axis over `ring_axis` and every layer's
+    attention runs the K/V-rotating ring over ICI (ops/ring_attention.py);
+    no (T, T) mask or score matrix is ever materialized, so contexts scale
+    P× past one chip's memory. Beyond the reference (SURVEY §2.3: SP absent).
     """
     B, T = input_ids.shape
     x = jnp.take(params["embed_tokens"], input_ids, axis=0)
@@ -362,7 +383,16 @@ def llama_apply(
     positions = jnp.broadcast_to(positions, (B, T))
     cos, sin = rotary_embedding(positions, config.head_dim, config.rope_theta)
 
-    if cache is not None:
+    ring = None
+    if ring_mesh is not None:
+        if cache is not None or attention_mask is not None:
+            raise ValueError(
+                "ring-attention SP is a training/scoring forward: "
+                "cache and attention_mask must be None"
+            )
+        ring = (ring_mesh, ring_axis)
+        mask = None
+    elif cache is not None:
         S = cache.max_length
         ki = jnp.arange(S)[None, :]  # (1, S)
         qi = positions[:, :, None]  # (B, T, 1)
@@ -383,7 +413,8 @@ def llama_apply(
     import os
 
     use_flash = (
-        cache is None
+        ring is None
+        and cache is None
         and attention_mask is None
         and T >= 1024
         and os.environ.get("ITX_DISABLE_FLASH", "0") == "0"
@@ -394,7 +425,7 @@ def llama_apply(
         ck = cache.k[li] if cache is not None else None
         cv = cache.v[li] if cache is not None else None
         x, ck, cv = _decoder_layer(
-            layer, x, config, cos, sin, mask, ck, cv, start, use_flash
+            layer, x, config, cos, sin, mask, ck, cv, start, use_flash, ring
         )
         new_k.append(ck)
         new_v.append(cv)

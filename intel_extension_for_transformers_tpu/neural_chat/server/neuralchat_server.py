@@ -534,11 +534,18 @@ class NeuralChatServerExecutor:
                 "(params, model_config); falling back to locked generation"
             )
             return None
+        # speculative decoding inside the pool: the chatbot's assistant
+        # (draft) model, if loaded, drafts gamma tokens per slot per step
+        draft = getattr(self.chatbot, "assistant", None)
+        d_params, d_config = draft if draft is not None else (None, None)
         self.engine = DecodeEngine(
             params,
             model_config,
             max_slots=int(serving.get("max_slots", 8)),
             max_len=int(serving.get("max_len", 1024)),
+            draft_params=d_params,
+            draft_config=d_config,
+            num_speculative_tokens=int(serving.get("num_speculative_tokens", 4)),
         ).start()
         return self.engine
 

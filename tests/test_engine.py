@@ -116,6 +116,75 @@ def test_engine_rejects_oversized_prompt(engine):
         engine.submit(EngineRequest(np.zeros(4096, np.int32)))
 
 
+# ----------------------- speculative slot pool -----------------------
+
+
+def test_spec_engine_selfdraft_exact_and_fewer_steps(tiny):
+    """Draft == target: every proposal accepted → greedy output identical to
+    the plain engine in ~1/(gamma+1) the decode steps."""
+    params, config = tiny
+    eng = DecodeEngine(
+        params, config, max_slots=2, max_len=128,
+        draft_params=params, draft_config=config, num_speculative_tokens=4,
+    ).start()
+    try:
+        prompt = np.array([5, 17, 99, 3], np.int32)
+        ref = generate(params, config, prompt, SamplingConfig(max_new_tokens=16))[0]
+        steps0 = eng._steps
+        out = eng.generate(prompt, max_new_tokens=16)
+        np.testing.assert_array_equal(ref, np.array(out))
+        # 16 tokens: 1 from prefill + 15 from spec steps of up to 5 → ≤ 6 steps
+        assert eng._steps - steps0 <= 6
+    finally:
+        eng.stop()
+
+
+def test_spec_engine_adversarial_draft_still_exact(tiny):
+    """A draft with DIFFERENT random weights (low acceptance) — greedy
+    output must still be bit-exact, and sampled slots must still work."""
+    params, config = tiny
+    draft_params = llama_init_params(jax.random.PRNGKey(123), config)
+    eng = DecodeEngine(
+        params, config, max_slots=2, max_len=128,
+        draft_params=draft_params, draft_config=config,
+        num_speculative_tokens=3,
+    ).start()
+    try:
+        prompt = np.array([7, 1, 42], np.int32)
+        ref = generate(params, config, prompt, SamplingConfig(max_new_tokens=12))[0]
+        r_sample = eng.submit(
+            EngineRequest(
+                np.array([1, 2, 3], np.int32), max_new_tokens=12,
+                do_sample=True, temperature=1.2, top_k=16,
+            )
+        )
+        r_greedy = eng.submit(EngineRequest(prompt, max_new_tokens=12))
+        out_g = list(r_greedy.tokens())
+        out_s = list(r_sample.tokens())
+        np.testing.assert_array_equal(ref, np.array(out_g))
+        assert len(out_s) == 12
+    finally:
+        eng.stop()
+
+
+def test_spec_engine_eos_inside_accepted_run(tiny):
+    """EOS landing mid-acceptance must truncate exactly as plain decode."""
+    params, config = tiny
+    eng = DecodeEngine(
+        params, config, max_slots=2, max_len=128,
+        draft_params=params, draft_config=config, num_speculative_tokens=4,
+    ).start()
+    try:
+        prompt = np.array([5, 17, 99, 3], np.int32)
+        full = generate(params, config, prompt, SamplingConfig(max_new_tokens=12))[0]
+        eos = int(full[6])
+        out = eng.generate(prompt, max_new_tokens=12, eos_token_id=eos)
+        np.testing.assert_array_equal(full[:6], np.array(out))
+        assert eng.active_slots == 0
+    finally:
+        eng.stop()
+
+
 @pytest.fixture(scope="module")
 def cb_server(tiny):
     reset_plugins()

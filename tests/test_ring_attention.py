@@ -45,6 +45,60 @@ def test_ring_attention_matches_full(sp_mesh, causal):
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
 
 
+def test_llama_forward_with_ring_sp_matches_plain(sp_mesh):
+    """Full llama_apply(ring_mesh=...) training forward == plain forward.
+
+    GQA config (2 kv heads repeated to 4 q heads) so the repeat-KV path in
+    the ring branch is exercised too."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from intel_extension_for_transformers_tpu.models.llama import (
+        LlamaConfig,
+        llama_apply,
+        llama_init_params,
+    )
+
+    config = LlamaConfig.tiny(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+    )
+    params = llama_init_params(jax.random.PRNGKey(0), config)
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(0, 128, size=(2, 64)), jnp.int32)
+
+    ref, _ = llama_apply(params, config, ids)
+
+    ids_sp = jax.device_put(ids, NamedSharding(sp_mesh, P(None, "sp")))
+    got, _ = llama_apply(params, config, ids_sp, ring_mesh=sp_mesh)
+    # sequence axis stays distributed end to end
+    assert len(got.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_llama_ring_sp_rejects_cache_and_mask(sp_mesh):
+    from intel_extension_for_transformers_tpu.models.llama import (
+        LlamaConfig,
+        llama_apply,
+        llama_init_params,
+    )
+
+    config = LlamaConfig.tiny(vocab_size=64, hidden_size=32, intermediate_size=64)
+    params = llama_init_params(jax.random.PRNGKey(0), config)
+    ids = jnp.zeros((1, 16), jnp.int32)
+    with pytest.raises(ValueError, match="ring-attention"):
+        llama_apply(
+            params, config, ids,
+            attention_mask=jnp.ones((1, 16), jnp.int32),
+            ring_mesh=sp_mesh,
+        )
+
+
 def test_ring_attention_output_stays_sharded(sp_mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
