@@ -148,22 +148,81 @@ class Memory:
 
 @register_plugin("ner")
 class NamedEntityRecognizer:
-    """Heuristic NER (emails, urls, capitalized spans, numbers) standing in
-    for the reference's spacy pipeline (ner/ner.py)."""
+    """NER plugin: BERT token-classification tagger (models/ner.py) when a
+    model is configured, heuristic patterns otherwise.
+
+    Mirrors the reference's spacy plugin surface (ner/ner.py:34-55
+    `ner_inference(response) → {period, time, location, name, organization}`)
+    with our own encoder instead of a spacy dependency. Configure with
+    `model="dslim/bert-base-NER"` (HF BertForTokenClassification) or
+    `preloaded=(params, NerConfig, tokenizer)`.
+    """
 
     PATTERNS = {
         "EMAIL": re.compile(r"[\w.+-]+@[\w-]+\.[\w.]+"),
         "URL": re.compile(r"https?://\S+"),
+        "DATE": re.compile(
+            r"\b\d{1,2}[:/.-]\d{1,2}(?:[:/.-]\d{2,4})?\b"
+            r"|\b\d{1,2}(?:st|nd|rd|th)?\s+"
+            r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\w*"
+            r"(?:\s+\d{4})?\b"
+            r"|\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\w*"
+            r"\s+\d{1,2}(?:st|nd|rd|th)?(?:,?\s+\d{4})?\b",
+            re.IGNORECASE,
+        ),
         "NUMBER": re.compile(r"\b\d+(?:\.\d+)?\b"),
-        "NAME": re.compile(r"\b(?:[A-Z][a-z]+ ){1,2}[A-Z][a-z]+\b"),
+        "PER": re.compile(r"\b(?:[A-Z][a-z]+ ){1,2}[A-Z][a-z]+\b"),
     }
 
+    def __init__(self, model: Optional[str] = None, preloaded=None, **kw):
+        self._model = None
+        if preloaded is not None:
+            from intel_extension_for_transformers_tpu.models.ner import NerModel
+
+            self._model = NerModel(*preloaded, **kw)
+        elif model is not None:
+            from intel_extension_for_transformers_tpu.models.ner import NerModel
+
+            self._model = NerModel.from_pretrained(model, **kw)
+
     def extract(self, text: str) -> List[dict]:
+        """→ [{text, label, start}] (model spans when available, else
+        heuristics; heuristics also backfill EMAIL/URL which CoNLL label
+        sets don't cover)."""
         out = []
-        for label, pat in self.PATTERNS.items():
-            for m in pat.finditer(text):
+        covered = []
+        if self._model is not None:
+            for e in self._model.tag(text):
+                out.append({"text": e.text, "label": e.label,
+                            "start": e.start, "score": e.score})
+                covered.append((e.start, e.end))
+        pattern_menu = (
+            ("EMAIL", "URL", "DATE") if self._model is not None
+            else tuple(self.PATTERNS)
+        )
+        for label in pattern_menu:
+            for m in self.PATTERNS[label].finditer(text):
+                if any(m.start() < c1 and m.end() > c0 for c0, c1 in covered):
+                    continue  # model span wins
                 out.append({"text": m.group(), "label": label, "start": m.start()})
         return sorted(out, key=lambda e: e["start"])
+
+    def ner_inference(self, response: str) -> dict:
+        """Reference-shaped result (ner/ner.py:44-55): entity buckets plus
+        resolved time periods."""
+        from intel_extension_for_transformers_tpu.models.ner import (
+            Entity,
+            ner_result,
+        )
+
+        ents = [
+            Entity(
+                text=d["text"], label=d["label"], start=d["start"],
+                end=d["start"] + len(d["text"]), score=d.get("score", 1.0),
+            )
+            for d in self.extract(response)
+        ]
+        return ner_result(response, ents)
 
 
 class IntentDetector:

@@ -241,6 +241,93 @@ class ChatApp:
 
         return events()
 
+    def _gen_text(self, query: str, cfg: GenerationConfig) -> str:
+        """One generation through the engine pool (concurrent) or the lock."""
+        if self.engine is not None:
+            return "".join(self._engine_text_stream(query, cfg))
+        with self._gen_lock:
+            return self.chatbot.predict(query, cfg)
+
+    def handle_code_generation(self, body: dict, chat: bool = False):
+        """POST /v1/code_generation | /v1/code_chat (reference:
+        restful/codegen_api.py — the codegen task router wraps the resident
+        code model; code_chat additionally applies the chat template)."""
+        prompt = body.get("prompt") or ""
+        if not prompt:
+            return 400, ErrorResponse("prompt must be non-empty").to_body()
+        cfg = _merge_generation_config(
+            self.chatbot.generation_config, CompletionRequest.from_dict(body)
+        )
+        query = _messages_to_query(
+            [ChatMessage("user", prompt)]
+        ) if chat else prompt
+        text = self._gen_text(query, cfg)
+        usage = UsageInfo(
+            prompt_tokens=self._count_tokens(prompt),
+            completion_tokens=self._count_tokens(text),
+        )
+        usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+        return 200, {"response": text, "usage": asdict_clean(usage)}
+
+    @staticmethod
+    def _tgi_config_from(base: GenerationConfig, parameters: dict):
+        class _P:  # adapt TGI parameter names onto the OpenAI merge helper
+            max_tokens = parameters.get("max_new_tokens")
+            temperature = parameters.get("temperature")
+            top_p = parameters.get("top_p")
+            top_k = parameters.get("top_k")
+            repetition_penalty = parameters.get("repetition_penalty")
+            seed = parameters.get("seed")
+
+        cfg = _merge_generation_config(base, _P)
+        if parameters.get("do_sample") is not None:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, do_sample=bool(parameters["do_sample"]))
+        return cfg
+
+    def handle_tgi_generate(self, body: dict):
+        """POST /generate — text-generation-inference wire format
+        (reference: restful/tgi_api.py; {inputs, parameters} →
+        {generated_text})."""
+        inputs = (body or {}).get("inputs") or ""
+        if not inputs:
+            return 400, ErrorResponse("inputs must be non-empty").to_body()
+        cfg = self._tgi_config_from(
+            self.chatbot.generation_config, (body or {}).get("parameters") or {}
+        )
+        text = self._gen_text(inputs, cfg)
+        return 200, {"generated_text": text}
+
+    def handle_tgi_generate_stream(self, body: dict):
+        """POST /generate_stream — TGI SSE: one {token:{text}} event per
+        delta, then a final event carrying generated_text."""
+        inputs = (body or {}).get("inputs") or ""
+        if not inputs:
+            return 400, ErrorResponse("inputs must be non-empty").to_body()
+        cfg = self._tgi_config_from(
+            self.chatbot.generation_config, (body or {}).get("parameters") or {}
+        )
+
+        def events():
+            if self.engine is not None:
+                deltas = self._engine_text_stream(inputs, cfg)
+            else:
+                deltas = _locked_iter(self._gen_lock,
+                                      self.chatbot.predict_stream(inputs, cfg))
+            pieces = []
+            for delta in deltas:
+                pieces.append(delta)
+                evt = {"token": {"text": delta, "special": False}}
+                yield f"data: {json.dumps(evt)}\n\n"
+            final = {
+                "token": {"text": "", "special": True},
+                "generated_text": "".join(pieces),
+            }
+            yield f"data: {json.dumps(final)}\n\n"
+
+        return 200, events()
+
     def handle_completion(self, body: dict):
         req = CompletionRequest.from_dict(body)
         prompts = req.prompt if isinstance(req.prompt, list) else [req.prompt]
@@ -323,6 +410,18 @@ class ChatApp:
             and "completion" in self.api_list
         ):
             return self.handle_completion(body or {})
+        # -- codegen router (reference: restful/api.py 'codegen') --
+        if "codegen" in self.api_list:
+            if method == "POST" and path == "/v1/code_generation":
+                return self.handle_code_generation(body or {}, chat=False)
+            if method == "POST" and path == "/v1/code_chat":
+                return self.handle_code_generation(body or {}, chat=True)
+        # -- tgi-compatible router (reference: restful/api.py 'tgi') --
+        if "tgi" in self.api_list:
+            if method == "POST" and path == "/generate":
+                return self.handle_tgi_generate(body or {})
+            if method == "POST" and path == "/generate_stream":
+                return self.handle_tgi_generate_stream(body or {})
         # -- askdoc router (reference: restful/api.py:39-51 'retrieval') --
         if self.askdoc is not None:
             if method == "POST" and path == "/v1/askdoc/create":
@@ -345,6 +444,11 @@ class ChatApp:
                 and "text2image" in self.api_list
             ):
                 return self.media.text2image(body or {})
+            if "plugin_audio" in self.api_list:
+                if method == "POST" and path == "/v1/plugin/audio/asr":
+                    return self.media.asr(body or {})
+                if method == "POST" and path == "/v1/plugin/audio/tts":
+                    return self.media.tts(body or {})
         # -- finetune router (reference: restful/api.py 'finetune') --
         if self.finetune is not None:
             if method == "POST" and path == "/v1/finetune":
@@ -472,7 +576,7 @@ class NeuralChatServerExecutor:
             )
 
             finetune = FinetuneRouter(self.chatbot)
-        if {"voicechat", "text2image"} & set(api_list):
+        if {"voicechat", "text2image", "plugin_audio"} & set(api_list):
             from intel_extension_for_transformers_tpu.neural_chat.server.routers import (
                 MediaRouter,
             )

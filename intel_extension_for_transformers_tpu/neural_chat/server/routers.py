@@ -261,6 +261,40 @@ class MediaRouter:
             out["sample_rate"] = sr
         return 200, out
 
+    def asr(self, body: dict):
+        """POST /v1/plugin/audio/asr {audio_b64} → {asr_result}
+        (reference: restful/plugin_audio_api.py)."""
+        from intel_extension_for_transformers_tpu.neural_chat.plugins import (
+            get_plugin_instance,
+        )
+
+        asr = get_plugin_instance("asr")
+        if asr is None:
+            return 503, {"error": "asr plugin not enabled"}
+        if not body.get("audio_b64"):
+            return 400, {"error": "need audio_b64 (base64 float32 PCM @16k)"}
+        audio = self._b64_to_array(body["audio_b64"])
+        return 200, {"asr_result": asr.audio2text(audio)}
+
+    def tts(self, body: dict):
+        """POST /v1/plugin/audio/tts {text} → {audio_b64, sample_rate}
+        (reference: restful/plugin_audio_api.py)."""
+        from intel_extension_for_transformers_tpu.neural_chat.plugins import (
+            get_plugin_instance,
+        )
+
+        tts = get_plugin_instance("tts")
+        if tts is None:
+            return 503, {"error": "tts plugin not enabled"}
+        text = body.get("text") or ""
+        if not text:
+            return 400, {"error": "text must be non-empty"}
+        wav, sr = tts.text2speech(text)
+        return 200, {
+            "audio_b64": self._array_to_b64(wav),
+            "sample_rate": sr,
+        }
+
     def text2image(self, body: dict):
         """POST /v1/text2image {prompt, steps?, guidance?} → {image_b64,
         shape}."""

@@ -181,7 +181,8 @@ def media_server():
             "host": "127.0.0.1",
             "port": 0,
             "model_name_or_path": "tiny-media",
-            "tasks_list": ["textchat", "health", "voicechat", "text2image"],
+            "tasks_list": ["textchat", "health", "voicechat", "text2image",
+                           "plugin_audio", "codegen", "tgi"],
             "loading_config": {"preloaded": (params, config, ByteTokenizer())},
             "generation_config": {"max_new_tokens": 4, "do_sample": False,
                                   "repetition_penalty": 1.0},
@@ -233,4 +234,83 @@ def test_media_router_errors(media_server):
     status, out = _req(media_server, "POST", "/v1/voicechat", {})
     assert status == 400
     status, out = _req(media_server, "POST", "/v1/text2image", {})
+    assert status == 400
+
+
+def test_plugin_audio_router(media_server):
+    """ASR + TTS as standalone plugin endpoints (reference:
+    restful/plugin_audio_api.py)."""
+    import base64
+
+    audio = np.sin(np.linspace(0, 440 * 2 * np.pi, 4000)).astype(np.float32)
+    status, out = _req(
+        media_server, "POST", "/v1/plugin/audio/asr",
+        {"audio_b64": base64.b64encode(audio.tobytes()).decode()}, timeout=300,
+    )
+    assert status == 200, out
+    assert "asr_result" in out
+
+    status, out = _req(
+        media_server, "POST", "/v1/plugin/audio/tts",
+        {"text": "hello tpu"}, timeout=300,
+    )
+    assert status == 200, out
+    wav = np.frombuffer(base64.b64decode(out["audio_b64"]), np.float32)
+    assert len(wav) > 0 and np.isfinite(wav).all()
+    assert out["sample_rate"] == 16000
+
+    status, _ = _req(media_server, "POST", "/v1/plugin/audio/tts", {})
+    assert status == 400
+
+
+def test_codegen_router(media_server):
+    """code_generation + code_chat (reference: restful/codegen_api.py)."""
+    status, out = _req(
+        media_server, "POST", "/v1/code_generation",
+        {"prompt": "def add(a, b):", "max_tokens": 4}, timeout=300,
+    )
+    assert status == 200, out
+    assert isinstance(out["response"], str)
+    assert out["usage"]["total_tokens"] > 0
+
+    status, out = _req(
+        media_server, "POST", "/v1/code_chat",
+        {"prompt": "write a sort", "max_tokens": 4}, timeout=300,
+    )
+    assert status == 200, out
+    status, _ = _req(media_server, "POST", "/v1/code_generation", {})
+    assert status == 400
+
+
+def test_tgi_router(media_server):
+    """TGI-compatible /generate and /generate_stream (reference:
+    restful/tgi_api.py wire format)."""
+    status, out = _req(
+        media_server, "POST", "/generate",
+        {"inputs": "hello", "parameters": {"max_new_tokens": 4,
+                                           "do_sample": False}},
+        timeout=300,
+    )
+    assert status == 200, out
+    assert isinstance(out["generated_text"], str)
+
+    # stream: SSE events, last one carries generated_text
+    conn = HTTPConnection("127.0.0.1", media_server.port, timeout=300)
+    conn.request(
+        "POST", "/generate_stream",
+        json.dumps({"inputs": "hello", "parameters": {"max_new_tokens": 4}}),
+        {"Content-Type": "application/json"},
+    )
+    resp = conn.getresponse()
+    assert resp.status == 200
+    raw = resp.read().decode()
+    conn.close()
+    events = [json.loads(line[6:]) for line in raw.splitlines()
+              if line.startswith("data: ")]
+    assert len(events) >= 1
+    assert "generated_text" in events[-1]
+    tokens = "".join(e["token"]["text"] for e in events)
+    assert tokens == events[-1]["generated_text"]
+
+    status, _ = _req(media_server, "POST", "/generate", {})
     assert status == 400
