@@ -166,7 +166,149 @@ class PerplexityTask(Task):
         return {"ppl": out["perplexity"], "nll": out["nll"], "tokens": out["tokens"]}
 
 
+@dataclass
+class WinograndeTask(Task):
+    """Winogrande partial evaluation (lm-eval convention): the blank is
+    substituted with each option, the context is everything up to and
+    including the substituted option, and the scored continuation is the
+    remainder of the sentence — so the options compete on the SAME
+    continuation text.
+
+    Docs: {"sentence": "... _ ...", "option1", "option2", "answer": "1"|"2"}.
+    """
+
+    docs: List[dict] = field(default_factory=list)
+
+    @classmethod
+    def from_jsonl(cls, name: str, path: str) -> "WinograndeTask":
+        return cls(name=name, docs=_read_jsonl(path))
+
+    def evaluate(self, params, config, tokenizer, *, batch_size: int = 8) -> dict:
+        reqs, golds, idx = [], [], []
+        for i, d in enumerate(self.docs):
+            head, _, tail = d["sentence"].partition("_")
+            for opt in (d["option1"], d["option2"]):
+                ctx = (head + opt).rstrip()
+                reqs.append((_encode(tokenizer, ctx), _encode(tokenizer, tail)))
+                idx.append(i)
+            golds.append(int(d["answer"]) - 1)
+        scored = loglikelihood(params, config, reqs, batch_size=batch_size)
+        correct = 0
+        for i, gold in enumerate(golds):
+            lls = [ll for (ll, _), j in zip(scored, idx) if j == i]
+            correct += int(int(np.argmax(lls)) == gold)
+        n = max(len(golds), 1)
+        return {"acc": correct / n, "n": len(golds)}
+
+
 # ------------------------- bundled task factories -------------------------
+
+
+def _mc_from_raw(name: str, path: str, to_doc) -> MultipleChoiceTask:
+    """Adapt a raw lm-eval doc schema into {context, choices, gold} docs."""
+    return MultipleChoiceTask(name=name, docs=[to_doc(d) for d in _read_jsonl(path)])
+
+
+def _arc_doc(d: dict) -> dict:
+    labels = d["choices"]["label"]
+    return {
+        "context": f"Question: {d['question']}\nAnswer:",
+        "choices": d["choices"]["text"],
+        "gold": labels.index(d["answerKey"]),
+    }
+
+
+@register_task("arc_easy")
+def _arc_easy(data_path: Optional[str] = None, **kw) -> MultipleChoiceTask:
+    path = data_path or os.path.join(_DATA_DIR, "arc_sample.jsonl")
+    return _mc_from_raw("arc_easy", path, _arc_doc)
+
+
+@register_task("arc_challenge")
+def _arc_challenge(data_path: Optional[str] = None, **kw) -> MultipleChoiceTask:
+    path = data_path or os.path.join(_DATA_DIR, "arc_sample.jsonl")
+    return _mc_from_raw("arc_challenge", path, _arc_doc)
+
+
+@register_task("boolq")
+def _boolq(data_path: Optional[str] = None, **kw) -> MultipleChoiceTask:
+    path = data_path or os.path.join(_DATA_DIR, "boolq_sample.jsonl")
+
+    def to_doc(d):
+        return {
+            "context": f"{d['passage']}\nQuestion: {d['question']}?\nAnswer:",
+            "choices": ["no", "yes"],
+            "gold": int(bool(d["answer"])),
+        }
+
+    return _mc_from_raw("boolq", path, to_doc)
+
+
+@register_task("winogrande")
+def _winogrande(data_path: Optional[str] = None, **kw) -> WinograndeTask:
+    path = data_path or os.path.join(_DATA_DIR, "winogrande_sample.jsonl")
+    return WinograndeTask.from_jsonl("winogrande", path)
+
+
+@register_task("openbookqa")
+def _openbookqa(data_path: Optional[str] = None, **kw) -> MultipleChoiceTask:
+    path = data_path or os.path.join(_DATA_DIR, "openbookqa_sample.jsonl")
+
+    def to_doc(d):
+        labels = d["choices"]["label"]
+        return {
+            "context": d["question_stem"],
+            "choices": d["choices"]["text"],
+            "gold": labels.index(d["answerKey"]),
+        }
+
+    return _mc_from_raw("openbookqa", path, to_doc)
+
+
+@register_task("copa")
+def _copa(data_path: Optional[str] = None, **kw) -> MultipleChoiceTask:
+    path = data_path or os.path.join(_DATA_DIR, "copa_sample.jsonl")
+
+    def to_doc(d):
+        conn = "because" if d["question"] == "cause" else "therefore"
+        ctx = d["premise"].rstrip(". ") + f" {conn}"
+        lower = [c[0].lower() + c[1:] for c in (d["choice1"], d["choice2"])]
+        return {"context": ctx, "choices": lower, "gold": int(d["label"])}
+
+    return _mc_from_raw("copa", path, to_doc)
+
+
+@register_task("sciq")
+def _sciq(data_path: Optional[str] = None, **kw) -> MultipleChoiceTask:
+    path = data_path or os.path.join(_DATA_DIR, "sciq_sample.jsonl")
+
+    def to_doc(d):
+        choices = [
+            d["distractor1"], d["distractor2"], d["distractor3"],
+            d["correct_answer"],
+        ]
+        return {
+            "context": f"Question: {d['question']}\nAnswer:",
+            "choices": choices,
+            "gold": 3,
+        }
+
+    return _mc_from_raw("sciq", path, to_doc)
+
+
+@register_task("truthfulqa_mc1")
+def _truthfulqa_mc1(data_path: Optional[str] = None, **kw) -> MultipleChoiceTask:
+    path = data_path or os.path.join(_DATA_DIR, "truthfulqa_sample.jsonl")
+
+    def to_doc(d):
+        t = d["mc1_targets"]
+        return {
+            "context": f"Q: {d['question']}\nA:",
+            "choices": t["choices"],
+            "gold": t["labels"].index(1),
+        }
+
+    return _mc_from_raw("truthfulqa_mc1", path, to_doc)
 
 
 @register_task("hellaswag")

@@ -30,10 +30,64 @@ def model():
 
 def test_task_registry_lists_builtins():
     names = list_tasks()
-    for t in ("hellaswag", "piqa", "lambada", "wikitext"):
+    for t in (
+        "hellaswag", "piqa", "lambada", "wikitext",
+        "arc_easy", "arc_challenge", "boolq", "winogrande",
+        "openbookqa", "copa", "sciq", "truthfulqa_mc1",
+    ):
         assert t in names
     with pytest.raises(KeyError):
         get_task("no-such-task")
+
+
+def test_evaluate_runs_extended_task_menu(model):
+    """All round-2 task additions run end to end on bundled samples."""
+    params, config, tok = model
+    tasks = ["arc_easy", "boolq", "winogrande", "openbookqa", "copa",
+             "sciq", "truthfulqa_mc1"]
+    res = evaluate(params, config, tok, tasks, batch_size=4)
+    assert set(res) == set(tasks)
+    for t in tasks:
+        assert 0.0 <= res[t]["acc"] <= 1.0, (t, res[t])
+        assert res[t]["n"] >= 6
+
+
+def test_winogrande_partial_evaluation_request_shape(monkeypatch):
+    """lm-eval partial-evaluation convention: per doc, TWO requests whose
+    contexts end with the substituted options and whose continuations are
+    the SAME sentence tail; accuracy keys off argmax over the pair."""
+    import intel_extension_for_transformers_tpu.evaluation.tasks as tasks_mod
+    from intel_extension_for_transformers_tpu.evaluation.tasks import (
+        WinograndeTask,
+    )
+
+    captured = {}
+
+    def fake_ll(params, config, reqs, batch_size=8):
+        captured["reqs"] = reqs
+        # score option1's request higher for doc 0, option2's for doc 1
+        return [(-1.0, False), (-5.0, False), (-9.0, False), (-2.0, False)]
+
+    monkeypatch.setattr(tasks_mod, "loglikelihood", fake_ll)
+    tok = ByteTokenizer()
+    docs = [
+        {"sentence": "The cup hit the table because _ was hard.",
+         "option1": "the cup", "option2": "the table", "answer": "1"},
+        {"sentence": "Amy thanked Joe since _ helped.",
+         "option1": "Amy", "option2": "Joe", "answer": "2"},
+    ]
+    task = WinograndeTask(name="wg", docs=docs)
+    res = task.evaluate(None, None, tok, batch_size=4)
+    assert res["acc"] == 1.0 and res["n"] == 2
+
+    reqs = captured["reqs"]
+    assert len(reqs) == 4
+    dec = tok.decode
+    # contexts end with the substituted option; tails are shared per doc
+    assert dec(reqs[0][0]).endswith("because the cup")
+    assert dec(reqs[1][0]).endswith("because the table")
+    assert dec(reqs[0][1]) == dec(reqs[1][1]) == " was hard."
+    assert dec(reqs[2][1]) == dec(reqs[3][1]) == " helped."
 
 
 def test_evaluate_runs_all_bundled_tasks(model):
