@@ -152,7 +152,8 @@ def _transformer_block(x, context, p, cfg: UNetConfig, channels: int):
     hn = _layer_norm(h, t["ln3"])
     gu = _dense(hn, t["ff_in"])
     g, u = jnp.split(gu, 2, axis=-1)
-    h = h + _dense(jax.nn.gelu(g) * u, t["ff_out"])
+    # exact (erf) gelu — diffusers GEGLU uses F.gelu, not the tanh approx
+    h = h + _dense(jax.nn.gelu(g, approximate=False) * u, t["ff_out"])
     h = h @ p["proj_out"]["kernel"].astype(x.dtype) + p["proj_out"]["bias"].astype(
         x.dtype
     )

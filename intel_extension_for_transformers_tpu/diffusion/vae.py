@@ -79,6 +79,9 @@ def vae_encode(params, cfg: VAEConfig, images, noise=None):
     x = _self_attn_2d(x, p["mid_attn"], cfg.norm_groups)
     x = _res(x, p["mid_res2"], cfg.norm_groups)
     x = _conv(jax.nn.silu(_group_norm(x, p["norm_out"], cfg.norm_groups)), p["conv_out"])
+    if "quant_conv" in p:  # diffusers AutoencoderKL 1×1 moment mix
+        q = p["quant_conv"]
+        x = x @ q["kernel"].astype(x.dtype) + q["bias"].astype(x.dtype)
     mean, logvar = jnp.split(x, 2, axis=-1)
     if noise is not None:
         mean = mean + jnp.exp(0.5 * jnp.clip(logvar, -30, 20)) * noise
@@ -89,7 +92,11 @@ def vae_encode(params, cfg: VAEConfig, images, noise=None):
 def vae_decode(params, cfg: VAEConfig, latents):
     """scaled latents → images (B, H, W, 3) in [-1, 1]."""
     p = params["decoder"]
-    x = _conv(latents / cfg.scaling_factor, p["conv_in"])
+    x = latents / cfg.scaling_factor
+    if "post_quant_conv" in p:  # diffusers AutoencoderKL 1×1 latent mix
+        q = p["post_quant_conv"]
+        x = x @ q["kernel"].astype(x.dtype) + q["bias"].astype(x.dtype)
+    x = _conv(x, p["conv_in"])
     x = _res(x, p["mid_res1"], cfg.norm_groups)
     x = _self_attn_2d(x, p["mid_attn"], cfg.norm_groups)
     x = _res(x, p["mid_res2"], cfg.norm_groups)

@@ -9,6 +9,13 @@ from intel_extension_for_transformers_tpu.parallel.sharding import (
     replicate,
     logical_to_sharding,
 )
+from intel_extension_for_transformers_tpu.parallel.pipeline import (
+    llama_pipeline_forward,
+    llama_stage_params,
+    pipeline_apply,
+    split_stages,
+    stack_layers,
+)
 
 __all__ = [
     "MeshConfig",
@@ -18,4 +25,9 @@ __all__ = [
     "shard_params",
     "replicate",
     "logical_to_sharding",
+    "pipeline_apply",
+    "llama_pipeline_forward",
+    "llama_stage_params",
+    "split_stages",
+    "stack_layers",
 ]

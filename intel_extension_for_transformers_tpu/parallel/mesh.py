@@ -23,7 +23,9 @@ from jax.sharding import Mesh
 
 # Canonical axis order: collectives on the innermost (fastest-varying,
 # physically-contiguous on ICI) axes are the cheapest, so tp/sp go innermost.
-AXIS_ORDER = ("dp", "fsdp", "ep", "sp", "tp")
+# pp (pipeline stages) sits outer — stage hops are one ppermute per
+# microbatch, the coarsest traffic in the stack.
+AXIS_ORDER = ("dp", "fsdp", "pp", "ep", "sp", "tp")
 
 
 @dataclass(frozen=True)
@@ -32,6 +34,7 @@ class MeshConfig:
 
     dp: int = 1
     fsdp: int = 1
+    pp: int = 1
     ep: int = 1
     sp: int = 1
     tp: int = 1
