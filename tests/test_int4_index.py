@@ -205,6 +205,97 @@ def test_sharded_ivf(mesh8, data):
     assert recall_at_k(ids, oracle) >= 0.95
 
 
+def test_ivf_residual_codec_error_bound():
+    """encode→decode residual error ≤ half a step per group (both widths)."""
+    import jax.numpy as jnp
+
+    from intel_extension_for_transformers_tpu.retrieval.ivf import (
+        _decode_residual,
+        _encode_residual,
+    )
+
+    rng = np.random.default_rng(7)
+    v = jnp.asarray(rng.normal(size=(32, DIM)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(32, DIM)).astype(np.float32))
+    true_r = np.asarray(v - c)
+    for bits, width in ((4, DIM // 2), (8, DIM)):
+        packed, scales = _encode_residual(v, c, 32, bits)
+        assert packed.shape == (32, width) and packed.dtype == jnp.int8
+        r = np.asarray(_decode_residual(packed, scales, 32, bits), np.float32)
+        step = np.repeat(np.asarray(scales, np.float32), 32, axis=1)
+        # bf16 scales/values add small relative slack over the half-step bound
+        assert (
+            np.abs(r - true_r) <= 0.51 * step + 0.01 * np.abs(true_r) + 1e-6
+        ).all(), bits
+
+
+def test_ivf_coded_recall_memory_menu(data):
+    """The IVF memory/recall menu on clustered data at the same nprobe:
+    int8 residuals hold recall parity with bf16 at ~0.53× the bytes; int4
+    trades to ≥0.90 recall at ~0.27×."""
+    docs, q, oracle = data
+    kw = dict(n_lists=64, list_cap=16)
+    idx = {}
+    for dt in ("bfloat16", "int8", "int4"):
+        ix = IVFIndex(dim=DIM, dtype=dt, group_size=32, **kw)
+        ix.train(docs[:5000])
+        ix.add(docs)
+        idx[dt] = ix
+
+    rec = {}
+    for dt, ix in idx.items():
+        _, ids = ix.search(q, k=K, nprobe=16)
+        rec[dt] = recall_at_k(ids, oracle)
+    assert rec["int8"] >= rec["bfloat16"] - 0.01, rec
+    assert rec["int4"] >= 0.90, rec
+
+    mb = {dt: ix.memory_bytes() for dt, ix in idx.items()}
+    assert mb["int8"] < 0.62 * mb["bfloat16"], mb
+    assert mb["int4"] < 0.35 * mb["bfloat16"], mb
+
+
+def test_ivf_int4_growth_and_save_load(tmp_path, data):
+    docs, q, _ = data
+    idx = IVFIndex(dim=DIM, n_lists=32, dtype="int4", list_cap=16)
+    idx.train(docs[:3000])
+    idx.add(docs[:5000])
+    idx.add(docs[5000:12_000])  # forces list growth with both arrays
+    assert len(idx) == 12_000
+    idx.save(str(tmp_path / "ivf4"))
+    idx2 = IVFIndex.load(str(tmp_path / "ivf4"))
+    s1, i1 = idx.search(q, k=5, nprobe=8)
+    s2, i2 = idx2.search(q, k=5, nprobe=8)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_ivf_coded(mesh8, data):
+    """8-shard coded IVF: device-side residual encode + scatter, bounded
+    probes per shard, ICI merge; int8 recall parity with sharded bf16,
+    int4 at its documented floor."""
+    docs, q, oracle = data
+    kw = dict(dim=DIM, mesh=mesh8, n_lists=16, list_cap=16)
+    bf = ShardedIVFIndex(dtype="bfloat16", **kw)
+    bf.train(docs[:5000])
+    bf.add(docs)
+    i8 = ShardedIVFIndex(dtype="int8", group_size=32, **kw)
+    i8.train(docs[:5000])
+    i8.add(docs)
+    i4 = ShardedIVFIndex(dtype="int4", group_size=32, **kw)
+    i4.train(docs[:5000])
+    i4.add(docs[:9999])
+    i4.add(docs[9999:])  # growth path with scales
+    assert len(i4) == 20_000
+    _, ids_bf = bf.search(q, k=K, nprobe=4)
+    _, ids_i8 = i8.search(q, k=K, nprobe=4)
+    _, ids_i4 = i4.search(q, k=K, nprobe=4)
+    r_bf = recall_at_k(ids_bf, oracle)
+    assert recall_at_k(ids_i8, oracle) >= r_bf - 0.01
+    assert recall_at_k(ids_i4, oracle) >= 0.88
+    assert i8.memory_bytes() < 0.62 * bf.memory_bytes()
+    assert i4.memory_bytes() < 0.35 * bf.memory_bytes()
+
+
 def test_fused_scan_topk_candidates():
     """ops/scan_topk.py: per-tile top-2 candidates must contain the true
     top-10 and carry exact (bf16-rounded) scores; masked tails excluded."""
