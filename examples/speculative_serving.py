@@ -50,6 +50,12 @@ def main():
             "preloaded": (params, config, ByteTokenizer()),
             "assistant_model": (draft, draft_cfg),
         },
+        # speculation accelerates GREEDY slots (sampled/penalized slots fall
+        # back to exact one-token steps), so serve greedy defaults here
+        "generation_config": {
+            "do_sample": False,
+            "repetition_penalty": 1.0,
+        },
         "serving_config": {
             "continuous_batching": True,
             "max_slots": 4,

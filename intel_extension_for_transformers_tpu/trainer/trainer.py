@@ -111,6 +111,8 @@ class NLPTrainer:
         trainable_filter: Optional[Callable[[Any], Any]] = None,
         mesh=None,
         param_axes: Any = None,  # logical axes → params (+opt state) shard
+        pipeline_stages: int = 1,  # >1: GPipe over the mesh `pp` axis
+        pipeline_microbatches: int = 2,
     ):
         self.params = params
         self.model_config = model_config
@@ -119,6 +121,8 @@ class NLPTrainer:
         self.eval_dataset = eval_dataset
         self.mesh = mesh
         self.param_axes = param_axes
+        self.pipeline_stages = int(pipeline_stages)
+        self.pipeline_microbatches = int(pipeline_microbatches)
         self.log_history: list = []
         if mesh is not None and param_axes is not None:
             # ZeRO-style: params placed by their logical axes (tp/fsdp rules);
@@ -135,7 +139,37 @@ class NLPTrainer:
                 rules = {"embed": "fsdp"}
             self.params = shard_params(params, param_axes, mesh, rules=rules)
 
-        if apply_fn is None:
+        if self.pipeline_stages > 1:
+            # GPipe: layer stack splits over the mesh `pp` axis
+            # (parallel/pipeline.py); embed/head stay in `base`. Composes
+            # with dp batch sharding; not with param_axes sharding or a
+            # custom apply_fn. Batches must be unpadded (the rotating
+            # activation buffer is mask-free).
+            if mesh is None or mesh.shape.get("pp", 1) != self.pipeline_stages:
+                raise ValueError(
+                    "pipeline_stages requires mesh with a pp axis of that size"
+                )
+            if param_axes is not None or apply_fn is not None:
+                raise ValueError(
+                    "pipeline_stages is exclusive with param_axes/apply_fn"
+                )
+            from intel_extension_for_transformers_tpu.parallel import (
+                llama_pipeline_forward,
+                llama_stage_params,
+            )
+
+            staged = llama_stage_params(self.params, model_config, mesh)
+            base = {k: v for k, v in self.params.items() if k != "layers"}
+            self.params = {"base": base, "staged": staged}
+
+            def apply_fn(p, ids, mask=None):
+                return llama_pipeline_forward(
+                    p["base"], p["staged"], self.model_config, ids,
+                    mesh=self.mesh,
+                    num_microbatches=self.pipeline_microbatches,
+                )
+
+        elif apply_fn is None:
             from intel_extension_for_transformers_tpu.models.llama import llama_apply
 
             def apply_fn(p, ids, mask=None):
@@ -143,6 +177,18 @@ class NLPTrainer:
                 return logits
 
         self.apply_fn = apply_fn
+
+    def merged_params(self) -> Any:
+        """Pipeline-staged trees re-assembled into the standard llama tree
+        (no-op without pipeline_stages)."""
+        if self.pipeline_stages <= 1:
+            return self.params
+        stacked = jax.tree.map(
+            lambda x: x.reshape(-1, *x.shape[2:]), self.params["staged"]
+        )
+        L = self.model_config.num_hidden_layers
+        layers = [jax.tree.map(lambda x: x[i], stacked) for i in range(L)]
+        return {**self.params["base"], "layers": layers}
 
     # ------------------------------------------------------------- core
     def _optimizer(self):
@@ -281,7 +327,7 @@ class NLPTrainer:
             loss_fn, self.params, resume_from_checkpoint=resume_from_checkpoint
         )
         self.params = params
-        return TrainOutput(params, steps, loss, self.log_history)
+        return TrainOutput(self.merged_params(), steps, loss, self.log_history)
 
     # ----------------------------------------------------------- evaluate
     def evaluate(self, dataset=None) -> dict:
