@@ -85,3 +85,36 @@ def test_native_bpe_decode_round_trip(trained):
 def test_native_bpe_exactness_gate():
     assert BPETokenizerNative.encodes_exactly("plain ascii 123")
     assert not BPETokenizerNative.encodes_exactly("café")
+
+
+def test_hybrid_tokenizer_fast_path(trained):
+    """HybridBPETokenizer: native activates for ByteLevel BPE, encodes
+    ASCII identically to the HF path, skips specials on decode, and falls
+    back on non-ASCII."""
+    transformers = pytest.importorskip("transformers")
+    tok, _ = trained
+
+    from intel_extension_for_transformers_tpu.models.tokenization import (
+        HybridBPETokenizer,
+    )
+
+    fast = transformers.PreTrainedTokenizerFast(tokenizer_object=tok)
+    hy = HybridBPETokenizer(fast)
+    assert hy.native_active
+    for text in CASES:
+        assert hy.encode(text) == fast.encode(text), text
+        assert hy.decode(hy.encode(text)) == text
+    # non-ASCII routes to HF (identical result, no crash)
+    s = "café costs €5"
+    assert hy.encode(s) == fast.encode(s)
+
+
+def test_hybrid_tokenizer_falls_back_for_non_bpe():
+    from intel_extension_for_transformers_tpu.models.tokenization import (
+        ByteTokenizer,
+        HybridBPETokenizer,
+    )
+
+    hy = HybridBPETokenizer(ByteTokenizer())  # no tokenizer.json surface
+    assert not hy.native_active
+    assert hy.encode("abc") == ByteTokenizer().encode("abc")
