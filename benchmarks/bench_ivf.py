@@ -26,9 +26,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=1_000_000)
     p.add_argument("--dim", type=int, default=768)
-    p.add_argument("--n-lists", type=int, default=1024)
+    p.add_argument("--n-lists", type=int, default=4096)
     p.add_argument("--nprobe", type=int, default=32)
-    p.add_argument("--batch", type=int, default=1024)
+    # the bounded gather materializes (B, nprobe·L, D) candidates — size the
+    # batch so that stays ≲2 GB (B=128, L≈500, D=768 bf16 ≈ 2.4 GB)
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--dtypes", nargs="+",
                    default=["bfloat16", "int8", "int4"])

@@ -47,7 +47,8 @@ def split_stages(stacked, num_stages: int):
 
 @partial(
     jax.jit,
-    static_argnames=("stage_fn", "mesh", "axis", "num_microbatches"),
+    static_argnames=("stage_fn", "mesh", "axis", "num_microbatches",
+                     "batch_axis"),
 )
 def pipeline_apply(
     stage_params,
@@ -57,11 +58,16 @@ def pipeline_apply(
     mesh: Mesh,
     axis: str = "pp",
     num_microbatches: int = None,
+    batch_axis: str = None,
 ):
     """Run x through all S pipeline stages → same-shape output.
 
     stage_params: pytree with leading stage axis S on every leaf (sharded
     over `axis`). stage_fn(stage_slice, x_mb) -> y_mb must preserve shape.
+    batch_axis: mesh axis to shard the microbatch CONTENT dim (x dim 1)
+    over — composes pp with dp so each dp replica pipelines only its batch
+    slice (without it, dp replicas would all-gather and redundantly compute
+    the full batch).
     """
     S = mesh.shape[axis]
     M = x.shape[0] if num_microbatches is None else num_microbatches
@@ -97,11 +103,10 @@ def pipeline_apply(
         outs = jax.lax.psum(jnp.where(s == S - 1, outs, 0.0), axis)
         return outs
 
-    # stage axis sharded over pp; microbatch contents replicated over pp
-    # (other mesh axes untouched — compose dp/tp by sharding x accordingly
-    # OUTSIDE and keeping those dims unspecified here)
+    # stage axis sharded over pp; microbatch contents replicated over pp,
+    # optionally sharded over batch_axis (dp)
     pspec = jax.tree.map(lambda _: P(axis), stage_params)
-    xspec = P(*([None] * x.ndim))
+    xspec = P(None, batch_axis, *([None] * (x.ndim - 2)))
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
@@ -124,7 +129,9 @@ def llama_stage_params(params: dict, config, mesh: Mesh, axis: str = "pp"):
 
 
 @partial(
-    jax.jit, static_argnames=("config", "mesh", "axis", "num_microbatches")
+    jax.jit,
+    static_argnames=("config", "mesh", "axis", "num_microbatches",
+                     "batch_axis"),
 )
 def llama_pipeline_forward(
     params: dict,  # full tree; layers are IGNORED in favor of staged_layers
@@ -135,6 +142,7 @@ def llama_pipeline_forward(
     mesh: Mesh,
     axis: str = "pp",
     num_microbatches: int = 4,
+    batch_axis: str = "auto",  # "auto": dp when present and it divides mb
 ):
     """Training/scoring forward with the layer stack pipelined over `pp`
     → logits (B, T, V). Exact vs llama_apply (tests pin this)."""
@@ -152,10 +160,16 @@ def llama_pipeline_forward(
     if B % M:
         raise ValueError(f"batch {B} not divisible by {M} microbatches")
     mb = B // M
+    if batch_axis == "auto":
+        dp = mesh.shape.get("dp", 1)
+        batch_axis = "dp" if dp > 1 and mb % dp == 0 else None
 
     x = jnp.take(params["embed_tokens"], input_ids, axis=0)
-    positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
-    cos, sin = rotary_embedding(positions[:mb], config.head_dim, config.rope_theta)
+    # batch-1 rotary tables: they broadcast over any (local) microbatch size
+    # inside the shard_map, where mb may be dp-sharded
+    cos, sin = rotary_embedding(
+        jnp.arange(T)[None, :], config.head_dim, config.rope_theta
+    )
     qi = jnp.arange(T)[:, None]
     ki = jnp.arange(T)[None, :]
     mask = (ki <= qi)[None, None, :, :]
@@ -172,7 +186,7 @@ def llama_pipeline_forward(
 
     x = pipeline_apply(
         staged_layers, stage_fn, x.reshape(M, mb, T, -1),
-        mesh=mesh, axis=axis, num_microbatches=M,
+        mesh=mesh, axis=axis, num_microbatches=M, batch_axis=batch_axis,
     )
     x = x.reshape(B, T, -1)
     x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
