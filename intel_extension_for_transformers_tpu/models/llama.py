@@ -44,6 +44,9 @@ class LlamaConfig:
     intermediate_size: int = 11008
     max_position_embeddings: int = 4096
     rope_theta: float = 10000.0
+    # long-context RoPE scaling (ops/layers.rope_inv_freq): None,
+    # ("linear", factor), or ("llama3", factor, low_f, high_f, orig_max)
+    rope_scaling: Optional[tuple] = None
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = False
     # Mixture-of-Experts (Mixtral family): 0 = dense MLP
@@ -97,6 +100,37 @@ class LlamaConfig:
             max_position_embeddings=8192,
         )
 
+    @classmethod
+    def llama31_8b(cls):
+        """Llama-3.1: 128k context via the llama3 RoPE scaling scheme."""
+        return cls(
+            vocab_size=128256,
+            num_key_value_heads=8,
+            intermediate_size=14336,
+            rope_theta=500000.0,
+            max_position_embeddings=131072,
+            rope_scaling=("llama3", 8.0, 1.0, 4.0, 8192.0),
+        )
+
+
+def _rope_scaling_from_hf(hf_config) -> Optional[tuple]:
+    """HF rope_scaling dict → our hashable spec (None for unsupported/none)."""
+    rs = getattr(hf_config, "rope_scaling", None)
+    if not rs:
+        return None
+    kind = rs.get("rope_type") or rs.get("type")
+    if kind == "linear":
+        return ("linear", float(rs["factor"]))
+    if kind == "llama3":
+        return (
+            "llama3",
+            float(rs["factor"]),
+            float(rs["low_freq_factor"]),
+            float(rs["high_freq_factor"]),
+            float(rs["original_max_position_embeddings"]),
+        )
+    raise ValueError(f"unsupported rope_scaling type {kind!r}")
+
 
 def llama_config_from_hf(hf_config) -> LlamaConfig:
     return LlamaConfig(
@@ -112,6 +146,7 @@ def llama_config_from_hf(hf_config) -> LlamaConfig:
         intermediate_size=hf_config.intermediate_size,
         max_position_embeddings=hf_config.max_position_embeddings,
         rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+        rope_scaling=_rope_scaling_from_hf(hf_config),
         rms_norm_eps=hf_config.rms_norm_eps,
         tie_word_embeddings=getattr(hf_config, "tie_word_embeddings", False),
     )
@@ -381,7 +416,9 @@ def llama_apply(
     start = cache.length if cache is not None else jnp.int32(0)
     positions = start + jnp.arange(T)[None, :]  # (1, T)
     positions = jnp.broadcast_to(positions, (B, T))
-    cos, sin = rotary_embedding(positions, config.head_dim, config.rope_theta)
+    cos, sin = rotary_embedding(
+        positions, config.head_dim, config.rope_theta, config.rope_scaling
+    )
 
     ring = None
     if ring_mesh is not None:
@@ -458,7 +495,9 @@ def llama_apply_with_hidden(
     B, T = input_ids.shape
     x = jnp.take(params["embed_tokens"], input_ids, axis=0)
     positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
-    cos, sin = rotary_embedding(positions, config.head_dim, config.rope_theta)
+    cos, sin = rotary_embedding(
+        positions, config.head_dim, config.rope_theta, config.rope_scaling
+    )
     qi = jnp.arange(T)[:, None]
     ki = jnp.arange(T)[None, :]
     mask = (ki <= qi)[None, None, :, :]

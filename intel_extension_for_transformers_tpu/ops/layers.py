@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -105,11 +107,44 @@ def silu(x):
     return jax.nn.silu(x)
 
 
-def rotary_embedding(positions: jax.Array, head_dim: int, theta: float = 10000.0):
-    """RoPE cos/sin tables for given positions (B, T) → (B, T, head_dim//2)."""
+def rope_inv_freq(head_dim: int, theta: float, scaling=None) -> jax.Array:
+    """RoPE inverse frequencies with optional long-context scaling.
+
+    `scaling` is a hashable tuple (lives inside static model configs):
+    - ("linear", factor) — position interpolation: every frequency /factor
+      (HF rope_scaling type "linear").
+    - ("llama3", factor, low_freq_factor, high_freq_factor, orig_max) — the
+    Llama-3.1 scheme (HF modeling_rope_utils `_compute_llama3_parameters`
+    semantics, re-derived): wavelengths shorter than orig_max/high stay,
+    longer than orig_max/low divide by factor, and the band between blends
+    by the smoothing ramp.
+    """
     inv_freq = 1.0 / (
         theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
     )
+    if scaling is None:
+        return inv_freq
+    kind = scaling[0]
+    if kind == "linear":
+        return inv_freq / float(scaling[1])
+    if kind == "llama3":
+        factor, low_f, high_f, orig_max = (float(s) for s in scaling[1:5])
+        wavelen = 2.0 * np.pi / inv_freq
+        low_wl = orig_max / low_f
+        high_wl = orig_max / high_f
+        smooth = (orig_max / wavelen - low_f) / (high_f - low_f)
+        smooth = jnp.clip(smooth, 0.0, 1.0)
+        blended = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+        out = jnp.where(wavelen > low_wl, inv_freq / factor, blended)
+        return jnp.where(wavelen < high_wl, inv_freq, out)
+    raise ValueError(f"unsupported rope scaling {scaling!r}")
+
+
+def rotary_embedding(
+    positions: jax.Array, head_dim: int, theta: float = 10000.0, scaling=None
+):
+    """RoPE cos/sin tables for given positions (B, T) → (B, T, head_dim//2)."""
+    inv_freq = rope_inv_freq(head_dim, theta, scaling)
     angles = positions.astype(jnp.float32)[..., None] * inv_freq  # (B, T, D/2)
     return jnp.cos(angles), jnp.sin(angles)
 

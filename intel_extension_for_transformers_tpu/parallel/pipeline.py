@@ -168,7 +168,8 @@ def llama_pipeline_forward(
     # batch-1 rotary tables: they broadcast over any (local) microbatch size
     # inside the shard_map, where mb may be dp-sharded
     cos, sin = rotary_embedding(
-        jnp.arange(T)[None, :], config.head_dim, config.rope_theta
+        jnp.arange(T)[None, :], config.head_dim, config.rope_theta,
+        getattr(config, "rope_scaling", None),
     )
     qi = jnp.arange(T)[:, None]
     ki = jnp.arange(T)[None, :]

@@ -102,6 +102,38 @@ def test_llama_parity_vs_hf(tiny_hf_llama):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-3, atol=3e-3)
 
 
+@pytest.mark.parametrize("rope_scaling", [
+    {"rope_type": "linear", "factor": 4.0},
+    {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+     "high_freq_factor": 4.0, "original_max_position_embeddings": 64},
+])
+def test_llama_rope_scaling_parity_vs_hf(rope_scaling):
+    """Long-context RoPE scaling (linear PI + Llama-3.1 'llama3') pins
+    logits to the HF torch forward — positions past the original context
+    exercise the scaled frequencies."""
+    from intel_extension_for_transformers_tpu.models.hf_convert import (
+        llama_params_from_hf,
+    )
+    from intel_extension_for_transformers_tpu.models import llama_apply
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=128, max_position_embeddings=256,
+        rope_scaling=dict(rope_scaling),
+    )
+    torch.manual_seed(7)
+    hf = transformers.LlamaForCausalLM(cfg)
+    hf.eval()
+    params, config = llama_params_from_hf(hf)
+    assert config.rope_scaling is not None
+    ids = np.random.default_rng(5).integers(0, 256, size=(1, 96))
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids)).logits.numpy()
+    out, _ = llama_apply(params, config, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-3, atol=3e-3)
+
+
 def test_llama_kv_cache_decode_matches_full_forward(tiny_hf_llama):
     from intel_extension_for_transformers_tpu.models.hf_convert import (
         llama_params_from_hf,
