@@ -47,6 +47,9 @@ class LlamaConfig:
     # long-context RoPE scaling (ops/layers.rope_inv_freq): None,
     # ("linear", factor), or ("llama3", factor, low_f, high_f, orig_max)
     rope_scaling: Optional[tuple] = None
+    # Mistral-style sliding-window attention: keys older than `window`
+    # positions are masked out (None = global attention)
+    sliding_window: Optional[int] = None
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = False
     # Mixture-of-Experts (Mixtral family): 0 = dense MLP
@@ -147,9 +150,19 @@ def llama_config_from_hf(hf_config) -> LlamaConfig:
         max_position_embeddings=hf_config.max_position_embeddings,
         rope_theta=getattr(hf_config, "rope_theta", 10000.0),
         rope_scaling=_rope_scaling_from_hf(hf_config),
+        sliding_window=_sliding_window_from_hf(hf_config),
         rms_norm_eps=hf_config.rms_norm_eps,
         tie_word_embeddings=getattr(hf_config, "tie_word_embeddings", False),
     )
+
+
+def _sliding_window_from_hf(hf_config) -> Optional[int]:
+    """Mistral: sliding_window (None = global); Qwen2 additionally gates it
+    behind use_sliding_window (off by default)."""
+    sw = getattr(hf_config, "sliding_window", None)
+    if sw is not None and not getattr(hf_config, "use_sliding_window", True):
+        sw = None
+    return int(sw) if sw else None
 
 
 def _linear_init(rng, k, n, scale=0.02):
@@ -427,6 +440,8 @@ def llama_apply(
                 "ring-attention SP is a training/scoring forward: "
                 "cache and attention_mask must be None"
             )
+        if config.sliding_window is not None:
+            raise ValueError("ring-attention SP is global-causal only")
         ring = (ring_mesh, ring_axis)
         mask = None
     elif cache is not None:
@@ -434,6 +449,8 @@ def llama_apply(
         ki = jnp.arange(S)[None, :]  # (1, S)
         qi = positions[:, :, None]  # (B, T, 1)
         mask = ki[:, None, :] <= qi  # (B, T, S) causal over absolute positions
+        if config.sliding_window is not None:
+            mask = mask & (qi - ki[:, None, :] < config.sliding_window)
         mask = mask[:, None, :, :]  # (B, 1, T, S)
         if attention_mask is not None:
             pad = attention_mask.astype(bool)
@@ -441,18 +458,23 @@ def llama_apply(
     else:
         qi = jnp.arange(T)[:, None]
         ki = jnp.arange(T)[None, :]
-        mask = (ki <= qi)[None, None, :, :]
+        causal = ki <= qi
+        if config.sliding_window is not None:
+            causal = causal & (qi - ki < config.sliding_window)
+        mask = causal[None, None, :, :]
         if attention_mask is not None:
             mask = mask & attention_mask.astype(bool)[:, None, None, :T]
 
     # long no-cache (training / scoring) forwards route to the Pallas flash
     # kernel: O(T) memory, ~2.4× over the fused XLA attention at T=4096
+    # (the kernel is global-causal, so windowed configs stay on the XLA path)
     import os
 
     use_flash = (
         ring is None
         and cache is None
         and attention_mask is None
+        and config.sliding_window is None
         and T >= 1024
         and os.environ.get("ITX_DISABLE_FLASH", "0") == "0"
     )

@@ -134,6 +134,49 @@ def test_llama_rope_scaling_parity_vs_hf(rope_scaling):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-3, atol=3e-3)
 
 
+def test_mistral_sliding_window_parity_vs_hf():
+    """Sliding-window attention (Mistral) pins logits to HF eager attention
+    at T well past the window, full-forward AND cached decode."""
+    from intel_extension_for_transformers_tpu.models.hf_convert import (
+        llama_params_from_hf,
+    )
+    from intel_extension_for_transformers_tpu.models import llama_apply
+    from intel_extension_for_transformers_tpu.models.llama import init_kv_cache
+
+    cfg = transformers.MistralConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=128, max_position_embeddings=128,
+        sliding_window=8, attn_implementation="eager",
+    )
+    torch.manual_seed(11)
+    hf = transformers.MistralForCausalLM(cfg)
+    hf.eval()
+    params, config = llama_params_from_hf(hf)
+    assert config.sliding_window == 8
+    ids = np.random.default_rng(6).integers(0, 256, size=(1, 32))
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids)).logits.numpy()
+    out, _ = llama_apply(params, config, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-3, atol=3e-3)
+    # the window must actually bite: global attention would differ
+    cfg_g = config.__class__(**{**config.__dict__, "sliding_window": None})
+    out_g, _ = llama_apply(params, cfg_g, jnp.asarray(ids))
+    assert np.abs(np.asarray(out_g) - ref).max() > 1e-2
+
+    # cached prefill+decode matches the full windowed forward
+    cache = init_kv_cache(config, 1, 48)
+    ids_j = jnp.asarray(ids)
+    _, cache = llama_apply(params, config, ids_j[:, :24], cache)
+    outs = []
+    for t in range(24, 32):
+        lg, cache = llama_apply(params, config, ids_j[:, t : t + 1], cache)
+        outs.append(np.asarray(lg[0, -1]))
+    np.testing.assert_allclose(
+        np.stack(outs), ref[0, 24:32], rtol=3e-3, atol=3e-3
+    )
+
+
 def test_llama_kv_cache_decode_matches_full_forward(tiny_hf_llama):
     from intel_extension_for_transformers_tpu.models.hf_convert import (
         llama_params_from_hf,
