@@ -198,8 +198,9 @@ def _spec_engine_step(
     return out_tokens, out_count, nxt, cache, draft_cache, rng, seen
 
 
-@partial(jax.jit, static_argnames=("config", "max_len"))
-def _engine_prefill(params, config, ids, true_len, max_len: int):
+@partial(jax.jit, static_argnames=("config", "max_len", "kv_dtype"))
+def _engine_prefill(params, config, ids, true_len, max_len: int,
+                    kv_dtype="bfloat16"):
     """Prefill ONE request into a fresh single-slot cache.
 
     ids: (1, T_bucket) right-padded. Right-pad needs no attention mask: real
@@ -207,7 +208,7 @@ def _engine_prefill(params, config, ids, true_len, max_len: int):
     → (last_real_logits (V,), slot cache with length = true_len, seen (V,)).
     """
     apply_fn = get_apply_fn(config)
-    cache = init_kv_cache(config, 1, max_len)
+    cache = init_kv_cache(config, 1, max_len, dtype=kv_dtype)
     logits, cache = apply_fn(params, config, ids, cache)
     last = logits[0, true_len - 1].astype(jnp.float32)
     cache = replace(cache, length=true_len.astype(cache.length.dtype))
@@ -221,22 +222,27 @@ def _engine_prefill(params, config, ids, true_len, max_len: int):
 
 @jax.jit
 def _insert_slot(batch_cache, slot_cache, slot, seen_all, seen_row):
-    """Scatter a prefilled single-slot cache into the batched cache."""
-    new_k = [
-        jax.lax.dynamic_update_slice(bk, sk[None].astype(bk.dtype), (slot, 0, 0, 0, 0))
-        for bk, sk in zip(batch_cache.k, slot_cache.k)
-    ]
-    new_v = [
-        jax.lax.dynamic_update_slice(bv, sv[None].astype(bv.dtype), (slot, 0, 0, 0, 0))
-        for bv, sv in zip(batch_cache.v, slot_cache.v)
-    ]
+    """Scatter a prefilled single-slot cache into the batched cache
+    (covers k/v and, for int8 KV caches, the scale planes)."""
+
+    def ins(b, s):
+        return jax.lax.dynamic_update_slice(
+            b, s[None].astype(b.dtype), (slot,) + (jnp.int32(0),) * (b.ndim - 1)
+        )
+
+    fields = {}
+    for name in ("k", "v", "k_scale", "v_scale"):
+        bl, sl = getattr(batch_cache, name), getattr(slot_cache, name)
+        fields[name] = (
+            [ins(b, s) for b, s in zip(bl, sl)] if bl is not None else None
+        )
     length = jax.lax.dynamic_update_slice(
         batch_cache.length, slot_cache.length[None], (slot,)
     )
     seen_all = jax.lax.dynamic_update_slice(
         seen_all, seen_row[None], (slot, jnp.int32(0))
     )
-    return replace(batch_cache, k=new_k, v=new_v, length=length), seen_all
+    return replace(batch_cache, length=length, **fields), seen_all
 
 
 @jax.jit
@@ -296,6 +302,7 @@ class DecodeEngine:
         draft_params=None,
         draft_config=None,
         num_speculative_tokens: int = 4,
+        kv_dtype="bfloat16",  # "int8": half the KV HBM → ~2× slots/context
     ):
         self.params = params
         self.config = config
@@ -309,8 +316,10 @@ class DecodeEngine:
             raise ValueError("draft_params and draft_config go together")
         V = config.vocab_size
 
+        self.kv_dtype = kv_dtype
+
         def batched_cache(cfg):
-            base = init_kv_cache(cfg, 1, max_len)
+            base = init_kv_cache(cfg, 1, max_len, dtype=kv_dtype)
             return jax.tree.map(
                 lambda x: jnp.broadcast_to(x[None], (max_slots,) + x.shape).copy()
                 if hasattr(x, "shape") and x.ndim
@@ -390,7 +399,8 @@ class DecodeEngine:
         padded[0, : min(t, bucket)] = ids[:bucket]
         true_len = jnp.int32(min(t, bucket))
         last, slot_cache, seen_row = _engine_prefill(
-            self.params, self.config, jnp.asarray(padded), true_len, self.max_len
+            self.params, self.config, jnp.asarray(padded), true_len,
+            self.max_len, self.kv_dtype,
         )
         self._temp[slot] = req.temperature
         self._topk[slot] = req.top_k
@@ -412,7 +422,7 @@ class DecodeEngine:
         if self._draft_cache is not None:
             _, dslot_cache, _ = _engine_prefill(
                 self.draft_params, self.draft_config,
-                jnp.asarray(padded), true_len, self.max_len,
+                jnp.asarray(padded), true_len, self.max_len, self.kv_dtype,
             )
             self._draft_cache, self._seen = _insert_slot(
                 self._draft_cache, dslot_cache, jnp.int32(slot),

@@ -255,33 +255,67 @@ def llama_param_axes(config: LlamaConfig) -> dict:
 
 @dataclass
 class KVCache:
-    """Static-shape per-layer KV buffers + scalar fill length."""
+    """Static-shape per-layer KV buffers + scalar fill length.
+
+    With k_scale/v_scale set (init_kv_cache(dtype="int8")) the buffers hold
+    per-vector symmetric INT8 with one scale per (B, S, Hkv) — half the KV
+    HBM of bf16, so a serving pool fits ~2× the slots/context. Quantization
+    happens once at write time; reads dequantize into the attention einsum.
+    Beyond the reference (its runtimes keep fp16/bf16 KV).
+    """
 
     k: list  # num_layers × (B, S, Hkv, D)
     v: list
     length: jax.Array  # scalar int32
+    k_scale: Optional[list] = None  # int8 mode: num_layers × (B, S, Hkv) f32
+    v_scale: Optional[list] = None
 
     @property
     def max_length(self) -> int:
         return self.k[0].shape[1]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
-jax.tree_util.register_dataclass(KVCache, data_fields=["k", "v", "length"], meta_fields=[])
+
+jax.tree_util.register_dataclass(
+    KVCache,
+    data_fields=["k", "v", "length", "k_scale", "v_scale"],
+    meta_fields=[],
+)
 
 
 def init_kv_cache(
     config: LlamaConfig, batch: int, max_length: int, dtype=jnp.bfloat16
 ) -> KVCache:
     shape = (batch, max_length, config.num_key_value_heads, config.head_dim)
+    L = config.num_hidden_layers
+    if dtype in ("int8", jnp.int8):
+        return KVCache(
+            k=[jnp.zeros(shape, jnp.int8) for _ in range(L)],
+            v=[jnp.zeros(shape, jnp.int8) for _ in range(L)],
+            length=jnp.int32(0),
+            k_scale=[jnp.zeros(shape[:-1], jnp.float32) for _ in range(L)],
+            v_scale=[jnp.zeros(shape[:-1], jnp.float32) for _ in range(L)],
+        )
     return KVCache(
-        k=[jnp.zeros(shape, dtype) for _ in range(config.num_hidden_layers)],
-        v=[jnp.zeros(shape, dtype) for _ in range(config.num_hidden_layers)],
+        k=[jnp.zeros(shape, dtype) for _ in range(L)],
+        v=[jnp.zeros(shape, dtype) for _ in range(L)],
         length=jnp.int32(0),
     )
 
 
+def _kv_quantize(t: jax.Array):
+    """(B, T, H, D) float → (int8 codes, (B, T, H) f32 scales)."""
+    sc = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=-1) / 127.0
+    q = jnp.round(t.astype(jnp.float32) / jnp.maximum(sc[..., None], 1e-8))
+    return jnp.clip(q, -127, 127).astype(jnp.int8), sc
+
+
 def _decoder_layer(layer, x, config: LlamaConfig, cos, sin, mask, cache_k,
-                   cache_v, start, use_flash: bool = False, ring=None):
+                   cache_v, start, use_flash: bool = False, ring=None,
+                   cache_ks=None, cache_vs=None):
     B, T, h = x.shape
     nh = config.num_attention_heads
     nkv = config.num_key_value_heads
@@ -296,7 +330,17 @@ def _decoder_layer(layer, x, config: LlamaConfig, cos, sin, mask, cache_k,
     q = apply_rotary(q, cos, sin)
     k = apply_rotary(k, cos, sin)
 
-    if cache_k is not None:
+    if cache_k is not None and cache_ks is not None:
+        # int8 KV: quantize the new rows ONCE at write; dequant on attend
+        k8, ksc = _kv_quantize(k)
+        v8, vsc = _kv_quantize(v)
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k8, (0, start, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v8, (0, start, 0, 0))
+        cache_ks = jax.lax.dynamic_update_slice(cache_ks, ksc, (0, start, 0))
+        cache_vs = jax.lax.dynamic_update_slice(cache_vs, vsc, (0, start, 0))
+        k_all = (cache_k.astype(jnp.float32) * cache_ks[..., None]).astype(x.dtype)
+        v_all = (cache_v.astype(jnp.float32) * cache_vs[..., None]).astype(x.dtype)
+    elif cache_k is not None:
         # write new K/V at [start, start+T); attend over the whole buffer
         cache_k = jax.lax.dynamic_update_slice(
             cache_k, k.astype(cache_k.dtype), (0, start, 0, 0)
@@ -338,7 +382,7 @@ def _decoder_layer(layer, x, config: LlamaConfig, cos, sin, mask, cache_k,
     else:
         y = silu(dense(xn, mlp["gate"]["kernel"])) * dense(xn, mlp["up"]["kernel"])
         x = x + dense(y, mlp["down"]["kernel"])
-    return x, cache_k, cache_v
+    return x, cache_k, cache_v, cache_ks, cache_vs
 
 
 def _moe_mlp(mlp, x, config: LlamaConfig):
@@ -479,22 +523,32 @@ def llama_apply(
         and os.environ.get("ITX_DISABLE_FLASH", "0") == "0"
     )
 
-    new_k, new_v = [], []
+    quant = cache is not None and cache.quantized
+    new_k, new_v, new_ks, new_vs = [], [], [], []
     for li, layer in enumerate(params["layers"]):
         ck = cache.k[li] if cache is not None else None
         cv = cache.v[li] if cache is not None else None
-        x, ck, cv = _decoder_layer(
-            layer, x, config, cos, sin, mask, ck, cv, start, use_flash, ring
+        cks = cache.k_scale[li] if quant else None
+        cvs = cache.v_scale[li] if quant else None
+        x, ck, cv, cks, cvs = _decoder_layer(
+            layer, x, config, cos, sin, mask, ck, cv, start, use_flash, ring,
+            cks, cvs,
         )
         new_k.append(ck)
         new_v.append(cv)
+        new_ks.append(cks)
+        new_vs.append(cvs)
 
     x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = dense(x, params["lm_head"]["kernel"])
 
     new_cache = None
     if cache is not None:
-        new_cache = KVCache(k=new_k, v=new_v, length=cache.length + T)
+        new_cache = KVCache(
+            k=new_k, v=new_v, length=cache.length + T,
+            k_scale=new_ks if quant else None,
+            v_scale=new_vs if quant else None,
+        )
     return logits, new_cache
 
 
@@ -526,7 +580,7 @@ def llama_apply_with_hidden(
     if attention_mask is not None:
         mask = mask & attention_mask.astype(bool)[:, None, None, :T]
     for layer in params["layers"]:
-        x, _, _ = _decoder_layer(
+        x, _, _, _, _ = _decoder_layer(
             layer, x, config, cos, sin, mask, None, None, jnp.int32(0)
         )
     hidden = rms_norm(x, params["final_norm"], config.rms_norm_eps)

@@ -650,6 +650,7 @@ class NeuralChatServerExecutor:
             draft_params=d_params,
             draft_config=d_config,
             num_speculative_tokens=int(serving.get("num_speculative_tokens", 4)),
+            kv_dtype=serving.get("kv_dtype", "bfloat16"),
         ).start()
         return self.engine
 

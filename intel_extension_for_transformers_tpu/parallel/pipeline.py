@@ -177,7 +177,7 @@ def llama_pipeline_forward(
 
     def stage_fn(stage_layers, h):
         def body(carry, layer):
-            out, _, _ = _decoder_layer(
+            out, _, _, _, _ = _decoder_layer(
                 layer, carry, config, cos, sin, mask, None, None, jnp.int32(0)
             )
             return out, None
