@@ -343,6 +343,8 @@ class DecodeEngine:
 
         self._slots: list[Optional[EngineRequest]] = [None] * max_slots
         self._emitted = np.zeros((max_slots,), np.int64)
+        self._total_tokens = 0  # emitted tokens since start
+        self._total_requests = 0  # completed requests
         self._pending: "queue.Queue[EngineRequest]" = queue.Queue()
         self._wake = threading.Event()
         self._stop = threading.Event()
@@ -379,6 +381,19 @@ class DecodeEngine:
     @property
     def active_slots(self) -> int:
         return sum(s is not None for s in self._slots)
+
+    def stats(self) -> dict:
+        """Serving counters for the /v1/stats endpoint."""
+        return {
+            "active_slots": self.active_slots,
+            "max_slots": self.max_slots,
+            "queued": self._pending.qsize(),
+            "decode_steps": self._steps,
+            "total_tokens": self._total_tokens,
+            "completed_requests": self._total_requests,
+            "speculative": self._draft_cache is not None,
+            "kv_dtype": str(self.kv_dtype),
+        }
 
     # ------------------------------ internals ------------------------------
 
@@ -444,6 +459,7 @@ class DecodeEngine:
         else:
             req.out.put(token)
             self._emitted[slot] += 1
+            self._total_tokens += 1
             if self._emitted[slot] >= req.max_new_tokens:
                 done = True
         # slot position exhaustion: cache is full (speculative steps write up
@@ -454,6 +470,7 @@ class DecodeEngine:
         if done:
             req.out.put(EngineRequest._DONE)
             self._slots[slot] = None
+            self._total_requests += 1
 
     def _loop(self) -> None:
         while not self._stop.is_set():

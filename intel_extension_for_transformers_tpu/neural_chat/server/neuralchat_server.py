@@ -394,6 +394,13 @@ class ChatApp:
             )
 
             return 200, ("html", SIDE_BY_SIDE_HTML)
+        if method == "GET" and path == "/v1/stats":
+            # serving counters (slot utilization, tokens, steps)
+            stats = {"engine": None}
+            if self.engine is not None:
+                stats["engine"] = self.engine.stats()
+            stats["model"] = self.model_name
+            return 200, stats
         if method == "GET" and path == "/health":
             return self.handle_health()
         if method == "GET" and path == "/v1/models" and "models" in self.api_list:

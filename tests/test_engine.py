@@ -111,6 +111,16 @@ def test_engine_per_slot_sampling_isolated(engine):
     assert len(out_s) == 8
 
 
+def test_engine_stats_counters(engine):
+    s0 = engine.stats()
+    out = engine.generate(np.array([4, 5, 6], np.int32), max_new_tokens=5)
+    s1 = engine.stats()
+    assert len(out) == 5
+    assert s1["total_tokens"] >= s0["total_tokens"] + 5
+    assert s1["completed_requests"] == s0["completed_requests"] + 1
+    assert s1["max_slots"] == 4 and s1["kv_dtype"] == "bfloat16"
+
+
 def test_engine_rejects_oversized_prompt(engine):
     with pytest.raises(ValueError):
         engine.submit(EngineRequest(np.zeros(4096, np.int32)))
