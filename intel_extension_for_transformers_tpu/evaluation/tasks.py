@@ -311,6 +311,28 @@ def _truthfulqa_mc1(data_path: Optional[str] = None, **kw) -> MultipleChoiceTask
     return _mc_from_raw("truthfulqa_mc1", path, to_doc)
 
 
+@register_task("mmlu")
+def _mmlu(data_path: Optional[str] = None, **kw) -> MultipleChoiceTask:
+    """MMLU letter-choice convention: the options are spelled out in the
+    prompt and the SCORED continuations are the answer letters."""
+    path = data_path or os.path.join(_DATA_DIR, "mmlu_sample.jsonl")
+
+    def to_doc(d):
+        letters = ["A", "B", "C", "D"]
+        subject = d.get("subject", "knowledge").replace("_", " ")
+        lines = "\n".join(
+            f"{letter}. {c}" for letter, c in zip(letters, d["choices"])
+        )
+        ctx = (
+            f"The following are multiple choice questions (with answers) "
+            f"about {subject}.\n\n{d['question']}\n{lines}\nAnswer:"
+        )
+        return {"context": ctx, "choices": letters[: len(d["choices"])],
+                "gold": int(d["answer"])}
+
+    return _mc_from_raw("mmlu", path, to_doc)
+
+
 @register_task("hellaswag")
 def _hellaswag(data_path: Optional[str] = None, **kw) -> MultipleChoiceTask:
     path = data_path or os.path.join(_DATA_DIR, "hellaswag_sample.jsonl")

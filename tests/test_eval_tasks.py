@@ -33,7 +33,7 @@ def test_task_registry_lists_builtins():
     for t in (
         "hellaswag", "piqa", "lambada", "wikitext",
         "arc_easy", "arc_challenge", "boolq", "winogrande",
-        "openbookqa", "copa", "sciq", "truthfulqa_mc1",
+        "openbookqa", "copa", "sciq", "truthfulqa_mc1", "mmlu",
     ):
         assert t in names
     with pytest.raises(KeyError):
@@ -44,7 +44,7 @@ def test_evaluate_runs_extended_task_menu(model):
     """All round-2 task additions run end to end on bundled samples."""
     params, config, tok = model
     tasks = ["arc_easy", "boolq", "winogrande", "openbookqa", "copa",
-             "sciq", "truthfulqa_mc1"]
+             "sciq", "truthfulqa_mc1", "mmlu"]
     res = evaluate(params, config, tok, tasks, batch_size=4)
     assert set(res) == set(tasks)
     for t in tasks:
