@@ -227,3 +227,143 @@ def detokenize_stream(
             delta = text[len(printed) :]
             printed = text
             yield delta
+
+
+# ------------------------------ beam search ------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "num_beams", "max_new_tokens", "length_penalty"),
+)
+def _beam_search_loop(
+    params, config, prompt, *, num_beams, max_new_tokens, length_penalty,
+    eos_token_id,
+):
+    """Static-shape beam search (reference surface: HF generate(num_beams=N)
+    passed through the reference's model_utils generation kwargs; algorithm
+    re-derived in the alive/finished formulation that keeps every shape
+    fixed for XLA).
+
+    prompt (1, T) → (best_ids (max_new,), best_score, best_len).
+    HF score convention: sum logprobs / len**length_penalty; early stopping
+    when num_beams hypotheses finished.
+    """
+    apply_fn = get_apply_fn(config)
+    NEG = jnp.float32(-1e9)
+    K = num_beams
+    T = prompt.shape[1]
+    V = config.vocab_size
+    S = T + max_new_tokens
+
+    cache = init_kv_cache(config, K, S)
+    ids_tiled = jnp.tile(prompt, (K, 1))
+    logits, cache = apply_fn(params, config, ids_tiled, cache)
+
+    alive_scores = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32), jnp.full((K - 1,), NEG)]
+    )
+    alive_seqs = jnp.zeros((K, max_new_tokens), jnp.int32)
+    alive_last = jnp.zeros((K,), jnp.int32)
+    fin_seqs = jnp.zeros((K, max_new_tokens), jnp.int32)
+    fin_scores = jnp.full((K,), NEG)
+    fin_lens = jnp.zeros((K,), jnp.int32)
+
+    eos = jnp.int32(-1 if eos_token_id is None else eos_token_id)
+
+    def penal(length):
+        return jnp.maximum(length, 1).astype(jnp.float32) ** jnp.float32(
+            length_penalty
+        )
+
+    def step(carry, i):
+        (last_logits, cache, alive_scores, alive_seqs, alive_last,
+         fin_seqs, fin_scores, fin_lens) = carry
+        logp = jax.nn.log_softmax(last_logits.astype(jnp.float32))  # (K, V)
+        cand = alive_scores[:, None] + logp  # (K, V)
+        # 2K candidates so that K survive even if K hit EOS this step
+        top_scores, top_flat = jax.lax.top_k(cand.reshape(-1), 2 * K)
+        parents = top_flat // V
+        tokens = (top_flat % V).astype(jnp.int32)
+        cand_seqs = jnp.take(alive_seqs, parents, axis=0).at[:, i].set(tokens)
+        is_eos = tokens == eos
+
+        # finished pool: existing K + eos'd candidates, keep best K
+        cand_fin_scores = jnp.where(
+            is_eos, top_scores / penal(i + 1), NEG
+        )
+        all_fin_scores = jnp.concatenate([fin_scores, cand_fin_scores])
+        all_fin_seqs = jnp.concatenate([fin_seqs, cand_seqs])
+        all_fin_lens = jnp.concatenate(
+            [fin_lens, jnp.full((2 * K,), i + 1, jnp.int32)]
+        )
+        fin_top, fin_idx = jax.lax.top_k(all_fin_scores, K)
+        fin_seqs2 = jnp.take(all_fin_seqs, fin_idx, axis=0)
+        fin_lens2 = jnp.take(all_fin_lens, fin_idx)
+
+        # alive pool: best K non-eos candidates
+        alive_cand = jnp.where(is_eos, NEG, top_scores)
+        a_top, a_idx = jax.lax.top_k(alive_cand, K)
+        a_parents = jnp.take(parents, a_idx)
+        alive_seqs2 = jnp.take(cand_seqs, a_idx, axis=0)
+        alive_last2 = jnp.take(tokens, a_idx)
+
+        # reorder the KV cache by parent beam
+        cache2 = jax.tree.map(
+            lambda x: jnp.take(x, a_parents, axis=0)
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == K
+            else x,
+            cache,
+        )
+        logits2, cache2 = apply_fn(
+            params, config, alive_last2[:, None], cache2
+        )
+        return (
+            (logits2[:, -1], cache2, a_top, alive_seqs2, alive_last2,
+             fin_seqs2, fin_top, fin_lens2),
+            None,
+        )
+
+    carry = (logits[:, -1], cache, alive_scores, alive_seqs, alive_last,
+             fin_seqs, fin_scores, fin_lens)
+    carry, _ = jax.lax.scan(
+        step, carry, jnp.arange(max_new_tokens)
+    )
+    (_, _, alive_scores, alive_seqs, _, fin_seqs, fin_scores, fin_lens) = carry
+
+    # finalize: best finished if any beat the (length-penalized) best alive
+    alive_final = alive_scores / penal(max_new_tokens)
+    best_alive = jnp.argmax(alive_final)
+    have_fin = fin_scores[0] > NEG / 2
+    use_fin = have_fin & (fin_scores[0] >= alive_final[best_alive])
+    best_ids = jnp.where(use_fin, fin_seqs[0], alive_seqs[best_alive])
+    best_score = jnp.where(use_fin, fin_scores[0], alive_final[best_alive])
+    best_len = jnp.where(
+        use_fin, fin_lens[0], jnp.int32(max_new_tokens)
+    )
+    return best_ids, best_score, best_len
+
+
+def generate_beam(
+    params,
+    config: LlamaConfig,
+    input_ids,  # (T,) or (1, T)
+    *,
+    num_beams: int = 4,
+    max_new_tokens: int = 32,
+    length_penalty: float = 1.0,
+    eos_token_id: Optional[int] = None,
+) -> tuple[np.ndarray, float]:
+    """Beam-search decode → (generated ids INCLUDING the final eos if hit,
+    sequence score). One fully-compiled lax.scan program; all shapes static
+    in (num_beams, max_new_tokens)."""
+    ids = jnp.asarray(input_ids, jnp.int32)
+    if ids.ndim == 1:
+        ids = ids[None, :]
+    best_ids, best_score, best_len = _beam_search_loop(
+        params, config, ids,
+        num_beams=num_beams, max_new_tokens=max_new_tokens,
+        length_penalty=float(length_penalty), eos_token_id=eos_token_id,
+    )
+    n = int(best_len)
+    return np.asarray(best_ids)[:n], float(best_score)

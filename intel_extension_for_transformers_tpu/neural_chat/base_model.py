@@ -200,7 +200,26 @@ class BaseModel:
         ids = self._encode_prompt(prompt)
         sampling = config.to_sampling_config(self._eos_id)
         try:
-            if self.assistant is not None and self.kv_policy is None:
+            if getattr(config, "num_beams", 1) > 1 and not config.do_sample:
+                # beam search (reference: HF generate(num_beams=N) kwargs);
+                # one compiled program, so the "stream" is the final result
+                from intel_extension_for_transformers_tpu.models.generation import (
+                    generate_beam,
+                )
+
+                beam_ids, _ = generate_beam(
+                    self.params, self.model_config, ids,
+                    num_beams=config.num_beams,
+                    max_new_tokens=config.max_new_tokens,
+                    eos_token_id=self._eos_id,
+                )
+
+                def _beam_iter(beam_ids=beam_ids):
+                    for t in beam_ids:
+                        yield np.asarray([t], np.int32)
+
+                token_iter = _beam_iter()
+            elif self.assistant is not None and self.kv_policy is None:
                 # assistant-model speculative decoding (reference:
                 # model_utils.py:503) — draft proposes, target verifies
                 from intel_extension_for_transformers_tpu.models.speculative import (
