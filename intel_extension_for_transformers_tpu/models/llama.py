@@ -444,7 +444,7 @@ def _moe_mlp(mlp, x, config: LlamaConfig):
     return out.astype(x.dtype).reshape(B, T, H)
 
 
-@partial(jax.jit, static_argnames=("config", "ring_mesh", "ring_axis"))
+@partial(jax.jit, static_argnames=("config", "ring_mesh", "ring_axis", "remat"))
 def llama_apply(
     params: dict,
     config: LlamaConfig,
@@ -454,6 +454,7 @@ def llama_apply(
     *,
     ring_mesh=None,  # jax.sharding.Mesh → ring-attention SP training forward
     ring_axis: str = "sp",
+    remat: bool = False,  # jax.checkpoint each layer: O(1)-activations grads
 ) -> tuple[jax.Array, Optional[KVCache]]:
     """Forward → (logits (B, T, V), updated cache).
 
@@ -524,15 +525,28 @@ def llama_apply(
     )
 
     quant = cache is not None and cache.quantized
+
+    def run_layer(layer, x, cos, sin, mask, ck, cv, start, cks, cvs):
+        return _decoder_layer(
+            layer, x, config, cos, sin, mask, ck, cv, start, use_flash, ring,
+            cks, cvs,
+        )
+
+    if remat:
+        # rematerialize each layer in the backward pass — activation memory
+        # drops from O(L·B·T·H) to O(B·T·H) at ~1.3× the backward FLOPs
+        # (the TPU HBM-for-FLOPs trade; reference analogue: HF
+        # gradient_checkpointing in the finetuning configs)
+        run_layer = jax.checkpoint(run_layer)
+
     new_k, new_v, new_ks, new_vs = [], [], [], []
     for li, layer in enumerate(params["layers"]):
         ck = cache.k[li] if cache is not None else None
         cv = cache.v[li] if cache is not None else None
         cks = cache.k_scale[li] if quant else None
         cvs = cache.v_scale[li] if quant else None
-        x, ck, cv, cks, cvs = _decoder_layer(
-            layer, x, config, cos, sin, mask, ck, cv, start, use_flash, ring,
-            cks, cvs,
+        x, ck, cv, cks, cvs = run_layer(
+            layer, x, cos, sin, mask, ck, cv, start, cks, cvs
         )
         new_k.append(ck)
         new_v.append(cv)

@@ -17,6 +17,9 @@ class TrainingArguments:
     learning_rate: float = 1e-4
     weight_decay: float = 0.0
     num_train_epochs: int = 1
+    # jax.checkpoint each decoder layer in the train step (HF analogue:
+    # gradient_checkpointing) — O(1)-in-depth activation memory
+    gradient_checkpointing: bool = False
     max_steps: int = -1  # >0 overrides epochs
     per_device_train_batch_size: int = 8
     gradient_accumulation_steps: int = 1

@@ -173,7 +173,10 @@ class NLPTrainer:
             from intel_extension_for_transformers_tpu.models.llama import llama_apply
 
             def apply_fn(p, ids, mask=None):
-                logits, _ = llama_apply(p, self.model_config, ids, None, mask)
+                logits, _ = llama_apply(
+                    p, self.model_config, ids, None, mask,
+                    remat=self.args.gradient_checkpointing,
+                )
                 return logits
 
         self.apply_fn = apply_fn

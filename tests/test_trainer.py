@@ -296,6 +296,35 @@ def test_pipeline_parallel_training(params, dataset):
     )
 
 
+def test_gradient_checkpointing_grads_identical(params, dataset):
+    """remat=True must change memory, not math: grads bit-match the plain
+    backward, and the trainer trains with it on."""
+    from intel_extension_for_transformers_tpu.models.llama import llama_apply
+
+    ids = jnp.asarray(np.stack([d["input_ids"] for d in dataset[:4]]), jnp.int32)
+
+    def loss(p, remat):
+        logits, _ = llama_apply(p, CFG, ids, remat=remat)
+        oh = jax.nn.one_hot(ids[:, 1:], CFG.vocab_size)
+        ll = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32))
+        return -jnp.mean(jnp.sum(ll * oh, -1))
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    tr = NLPTrainer(
+        params, CFG,
+        args=_args(max_steps=4, gradient_checkpointing=True),
+        train_dataset=dataset,
+    )
+    before = tr.evaluate(dataset)["eval_loss"]
+    tr.train()
+    assert tr.evaluate(dataset)["eval_loss"] < before
+
+
 def test_pipeline_stage_validation(params):
     from intel_extension_for_transformers_tpu.parallel import create_mesh
 
