@@ -131,6 +131,23 @@ class TpuCausalLM(_TpuModelBase):
 
     # -- generation -------------------------------------------------------
     def generate(self, input_ids, sampling: Optional[SamplingConfig] = None, **kw):
+        if kw.get("num_beams", 1) > 1:
+            # HF-style generate(num_beams=N) → compiled beam search
+            from intel_extension_for_transformers_tpu.models.generation import (
+                generate_beam,
+            )
+
+            ids, _ = generate_beam(
+                self.params, self.config, input_ids,
+                num_beams=int(kw["num_beams"]),
+                max_new_tokens=int(
+                    kw.get("max_new_tokens")
+                    or (sampling.max_new_tokens if sampling else 32)
+                ),
+                length_penalty=float(kw.get("length_penalty", 1.0)),
+                eos_token_id=kw.get("eos_token_id"),
+            )
+            return ids[None]  # (1, n) — same batch-major shape as generate
         return _generate(self.params, self.config, input_ids, sampling, **kw)
 
     def generate_stream(
