@@ -78,29 +78,33 @@ def main():
         _, ids = idx.search(queries[:256], k=10, nprobe=args.nprobe)
         rec = recall_at_k(ids, oracle)
 
-        # fused-loop timing (CLAUDE.md: scalar readback, ≥many iters)
+        # fused-loop timing (CLAUDE.md: scalar readback, ≥many iters; index
+        # arrays must be ARGUMENTS — a jit closure would ship them as
+        # captured constants in the relay's compile request)
         q = jnp.asarray(queries)
         kwargs = dict(k=10, nprobe=args.nprobe, list_cap=idx._list_cap)
-        if dt in ("int4", "int8"):
-            fn = lambda qq: _ivf_search_coded(  # noqa: E731
-                qq, idx.centroids, idx._storage, idx._scales, idx._row_ids,
-                group_size=idx.group_size, bits=idx._bits, **kwargs,
-            )
-        else:
-            fn = lambda qq: _ivf_search(  # noqa: E731
-                qq, idx.centroids, idx._storage, idx._row_ids, **kwargs,
-            )
+        coded = dt in ("int4", "int8")
 
         @jax.jit
-        def loop(qq):
+        def loop(qq, cent, storage, scales, row_ids):
             def body(i, acc):
-                s, ii = fn(qq + 0 * i.astype(qq.dtype))
+                qi = qq + 0 * i.astype(qq.dtype)
+                if coded:
+                    _, ii = _ivf_search_coded(
+                        qi, cent, storage, scales, row_ids,
+                        group_size=idx.group_size, bits=idx._bits, **kwargs,
+                    )
+                else:
+                    _, ii = _ivf_search(qi, cent, storage, row_ids, **kwargs)
                 return acc + ii[0, 0]
             return jax.lax.fori_loop(0, args.iters, body, jnp.int32(0))
 
-        int(loop(q))  # compile + warm
+        operands = (q, idx.centroids, idx._storage,
+                    idx._scales if coded else jnp.zeros((1, 1), jnp.bfloat16),
+                    idx._row_ids)
+        int(loop(*operands))  # compile + warm
         t0 = time.perf_counter()
-        int(loop(q))  # scalar readback forces completion through the relay
+        int(loop(*operands))  # scalar readback forces completion via relay
         dt_s = time.perf_counter() - t0
         qps = args.batch * args.iters / dt_s
         results[dt] = {

@@ -306,9 +306,10 @@ class IVFIndex:
         assign, slot, new_fill = _plan_insert(v, self.centroids, self._fill)
         max_fill = int(jnp.max(new_fill))  # one scalar readback per add
         if max_fill > self._list_cap:
-            cap = self._list_cap
-            while cap < max_fill:
-                cap *= 2
+            # grow to need + 25% headroom (not doubling): skewed k-means
+            # lists at 100M scale would otherwise balloon the whole block
+            # table — the re-layout holds old+new storage alive at once
+            cap = max(int(max_fill * 1.25), self._list_cap + 8)
             self._grow_lists(cap)
         ids = np.arange(self.size, self.size + v.shape[0])
         flat_pos = assign * self._list_cap + slot
@@ -628,9 +629,7 @@ class ShardedIVFIndex:
         # rows per add.  Growth check:
         max_fill = int(new_fill_host.max())
         if max_fill > self._list_cap:
-            cap = self._list_cap
-            while cap < max_fill:
-                cap *= 2
+            cap = max(int(max_fill * 1.25), self._list_cap + 8)
             self._grow_lists(cap)
         if self.dtype in ("int4", "int8"):
             self._storage, self._scales, self._row_ids = _sharded_scatter_coded(
