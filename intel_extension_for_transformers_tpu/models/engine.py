@@ -275,11 +275,19 @@ class EngineRequest:
     repetition_penalty: float = 1.0
     eos_token_id: Optional[int] = None
     out: "queue.Queue" = field(default_factory=queue.Queue)
+    cancelled: bool = field(default=False)
 
     _DONE = object()
 
+    def cancel(self) -> None:
+        """Abandon the request: its slot frees at the next decode step
+        (client-disconnect handling — a dropped SSE stream must not keep
+        burning a slot)."""
+        self.cancelled = True
+
     def tokens(self) -> Iterator[int]:
-        """Blocking iterator over generated token ids."""
+        """Blocking iterator over generated token ids; stops early when the
+        request is cancelled."""
         while True:
             item = self.out.get()
             if item is EngineRequest._DONE:
@@ -454,7 +462,9 @@ class DecodeEngine:
         if req is None:
             return
         done = False
-        if req.eos_token_id is not None and token == req.eos_token_id:
+        if req.cancelled:
+            done = True
+        elif req.eos_token_id is not None and token == req.eos_token_id:
             done = True
         else:
             req.out.put(token)
@@ -480,6 +490,9 @@ class DecodeEngine:
                 if self._slots[slot] is None:
                     try:
                         req = self._pending.get_nowait()
+                        while req.cancelled:  # dropped before admission
+                            req.out.put(EngineRequest._DONE)
+                            req = self._pending.get_nowait()
                     except queue.Empty:
                         break
                     self._admit(req, slot)

@@ -147,7 +147,17 @@ class ChatApp:
 
         req = self._engine_submit(query, cfg)
         token_arrays = (np.array([t]) for t in req.tokens())
-        return detokenize_stream(token_arrays, self.chatbot.tokenizer)
+        deltas = detokenize_stream(token_arrays, self.chatbot.tokenizer)
+
+        def gen():
+            try:
+                yield from deltas
+            finally:
+                # abandoned stream (client disconnect) → free the slot; a
+                # no-op when the request already finished
+                req.cancel()
+
+        return gen()
 
     # ---------------------------------------------------------- helpers
     def _count_tokens(self, text: str) -> int:
@@ -495,6 +505,8 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(b"0\r\n\r\n")
         except (BrokenPipeError, ConnectionResetError):
             logger.info("client disconnected mid-stream")
+            if hasattr(events, "close"):
+                events.close()  # fires generator finally → engine cancel
 
     def _dispatch(self, method: str) -> None:
         body = None

@@ -111,6 +111,38 @@ def test_engine_per_slot_sampling_isolated(engine):
     assert len(out_s) == 8
 
 
+def test_engine_cancel_frees_slot(engine):
+    """A cancelled request's slot frees at the next decode step, and a
+    queued-but-cancelled request never occupies one."""
+    r = engine.submit(
+        EngineRequest(np.array([1, 2, 3], np.int32), max_new_tokens=500)
+    )
+    it = r.tokens()
+    next(it)  # running
+    r.cancel()
+    # the slot frees without draining all 500 tokens
+    deadline = time.time() + 60
+    while engine.active_slots and time.time() < deadline:
+        time.sleep(0.05)
+    assert engine.active_slots == 0
+
+    # queued cancellation: fill all slots, queue one, cancel it while queued
+    blockers = [
+        engine.submit(
+            EngineRequest(np.array([i, 2, 3], np.int32), max_new_tokens=40)
+        )
+        for i in range(4)
+    ]
+    queued = engine.submit(
+        EngineRequest(np.array([9, 9, 9], np.int32), max_new_tokens=40)
+    )
+    queued.cancel()
+    out = list(queued.tokens())  # must terminate quickly with no tokens
+    assert out == [] or len(out) < 40
+    for b in blockers:
+        list(b.tokens())
+
+
 def test_engine_stats_counters(engine):
     s0 = engine.stats()
     out = engine.generate(np.array([4, 5, 6], np.int32), max_new_tokens=5)
