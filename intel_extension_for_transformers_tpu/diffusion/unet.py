@@ -103,12 +103,25 @@ def timestep_embedding(t, dim: int, max_period: float = 10000.0):
 
 
 def _attention(q, k, v, n_heads: int):
-    """(B, Lq, C) x (B, Lk, C) multi-head attention."""
+    """(B, Lq, C) x (B, Lk, C) multi-head attention.
+
+    Long SELF-attention (the 64×64-latent L=4096 blocks that dominate SD
+    time) routes through the Pallas flash kernel — O(L) memory, no (L, L)
+    score matrix in HBM; short/cross attention (text Lk=77) stays on the
+    fused XLA path."""
     B, Lq, C = q.shape
+    Lk = k.shape[1]
     hd = C // n_heads
     qh = q.reshape(B, Lq, n_heads, hd)
-    kh = k.reshape(B, -1, n_heads, hd)
-    vh = v.reshape(B, -1, n_heads, hd)
+    kh = k.reshape(B, Lk, n_heads, hd)
+    vh = v.reshape(B, Lk, n_heads, hd)
+    if Lq == Lk and Lq >= 1024:
+        from intel_extension_for_transformers_tpu.ops.flash_attention import (
+            flash_attention,
+        )
+
+        out = flash_attention(qh, kh, vh, causal=False)
+        return out.reshape(B, Lq, C)
     att = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(hd)
     att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", att, vh)

@@ -73,9 +73,15 @@ class DecoderConfig:
     mlp_bias: bool = True
     lm_head_bias: bool = False
     tie_word_embeddings: bool = False
+    # Gemma-isms: explicit head_dim (≠ hidden/heads on gemma-7b), embeddings
+    # scaled by sqrt(hidden), RMSNorm parameterized as (1 + weight)
+    head_dim_override: Optional[int] = None
+    embed_scale: bool = False
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.hidden_size // self.num_attention_heads
 
     @property
@@ -235,6 +241,8 @@ class DecoderConfig:
 def _norm(x, p, config: DecoderConfig):
     if config.norm_type == "rmsnorm":
         return rms_norm(x, p["scale"], config.norm_eps)
+    if config.norm_type == "rmsnorm_1p":  # Gemma zero-centered weights
+        return rms_norm(x, p["scale"] + 1.0, config.norm_eps)
     bias = p.get("bias")
     if bias is None:
         bias = jnp.zeros_like(p["scale"])
@@ -322,7 +330,9 @@ def _decoder_layer(layer, x, config: DecoderConfig, positions, mask, bias4,
     else:
         k_all, v_all = k, v
 
-    ctx = attention(q, k_all, v_all, mask=mask, bias=bias4).reshape(B, T, h)
+    ctx = attention(q, k_all, v_all, mask=mask, bias=bias4).reshape(
+        B, T, nh * hd
+    )
     attn_out = dense(ctx, att["o"]["kernel"], att["o"].get("bias"))
 
     mlp = layer["mlp"]
@@ -360,6 +370,8 @@ def decoder_apply(
     llama_apply (models/llama.py) — generation/speculative reuse it."""
     B, T = input_ids.shape
     x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+    if config.embed_scale:  # Gemma: embeddings scaled by sqrt(hidden)
+        x = x * jnp.asarray(config.hidden_size, jnp.float32) ** 0.5
     if config.embedding_norm:
         x = _norm(x, params["embed_norm"], config)
 

@@ -777,3 +777,67 @@ def _convert_chatglm(hc, sd):
 
 
 _DECODER_CONVERTERS["chatglm"] = _convert_chatglm
+
+
+def _convert_gemma(hc, sd):
+    """Gemma (beyond the reference's Oct-2024 menu — llama-shaped weights
+    with rmsnorm-(1+w), sqrt(hidden)-scaled embeddings, gelu-tanh gated MLP,
+    an explicit head_dim, and tied embeddings)."""
+    from intel_extension_for_transformers_tpu.models.decoder import DecoderConfig
+
+    config = DecoderConfig(
+        model_type="gemma",
+        vocab_size=hc.vocab_size,
+        hidden_size=hc.hidden_size,
+        num_hidden_layers=hc.num_hidden_layers,
+        num_attention_heads=hc.num_attention_heads,
+        num_key_value_heads=hc.num_key_value_heads,
+        intermediate_size=hc.intermediate_size,
+        max_position_embeddings=hc.max_position_embeddings,
+        rotary_interleaved=False,
+        rope_theta=getattr(hc, "rope_theta", 10000.0),
+        norm_type="rmsnorm_1p",
+        norm_eps=hc.rms_norm_eps,
+        activation=_act_of(hc, "gelu_new"),
+        gated_mlp=True,
+        attention_bias=getattr(hc, "attention_bias", False),
+        mlp_bias=False,
+        tie_word_embeddings=True,
+        head_dim_override=getattr(hc, "head_dim", None),
+        embed_scale=True,
+    )
+    embed = _np(sd["model.embed_tokens.weight"])
+    params = {
+        "embed_tokens": jnp.asarray(embed),
+        "layers": [],
+        "final_norm": _norm_p(sd, "model.norm"),
+        "lm_head": {
+            "kernel": jnp.asarray(
+                _np(sd["lm_head.weight"]).T if "lm_head.weight" in sd
+                else embed.T
+            )
+        },
+    }
+    for li in range(config.num_hidden_layers):
+        p = f"model.layers.{li}."
+        params["layers"].append(
+            {
+                "ln1": _norm_p(sd, p + "input_layernorm"),
+                "attention": {
+                    "q": _lin(sd, p + "self_attn.q_proj"),
+                    "k": _lin(sd, p + "self_attn.k_proj"),
+                    "v": _lin(sd, p + "self_attn.v_proj"),
+                    "o": _lin(sd, p + "self_attn.o_proj"),
+                },
+                "ln2": _norm_p(sd, p + "post_attention_layernorm"),
+                "mlp": {
+                    "gate": _lin(sd, p + "mlp.gate_proj"),
+                    "up": _lin(sd, p + "mlp.up_proj"),
+                    "down": _lin(sd, p + "mlp.down_proj"),
+                },
+            }
+        )
+    return params, config
+
+
+_DECODER_CONVERTERS["gemma"] = _convert_gemma

@@ -122,6 +122,20 @@ def test_phi_parity():
 # -------------------------------------------------- generation integration
 
 
+def test_gemma_parity():
+    """Gemma (beyond the reference's menu): rmsnorm(1+w), sqrt(H)-scaled
+    embeddings, gelu-tanh gated MLP, EXPLICIT head_dim ≠ hidden/heads."""
+    cfg = hf.GemmaConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=128, max_position_embeddings=64,
+        head_dim=32, hidden_activation="gelu_pytorch_tanh",
+    )
+    torch.manual_seed(5)
+    params, config = _parity(hf.GemmaForCausalLM(cfg))
+    assert config.head_dim == 32  # the override is live
+
+
 def test_decoder_generates_and_caches():
     """Cached decode == uncached forward for the generic decoder."""
     config = DecoderConfig.tiny(pos_embedding="alibi", attention_bias=False)
