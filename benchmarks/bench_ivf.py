@@ -113,7 +113,10 @@ def main():
             "build_s": round(build_s, 1),
         }
         print(f"{dt}: {results[dt]}", file=sys.stderr)
-        del idx
+        del idx, operands  # drop HBM refs before the next dtype builds
+        import gc
+
+        gc.collect()
 
     best = results.get("int8") or next(iter(results.values()))
     print(json.dumps({

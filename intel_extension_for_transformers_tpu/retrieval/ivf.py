@@ -143,13 +143,20 @@ def _ivf_search_coded(
     """Bounded-probe search over residual-coded storage: decode only the
     probed candidates, score = q·centroid + q·residual."""
     B, D = q.shape
+    C = cent.shape[0]
     csims = q.astype(jnp.float32) @ cent.T.astype(jnp.float32)  # (B, C)
     _, probes = jax.lax.top_k(csims, nprobe)
-    pos = probes[:, :, None] * list_cap + jnp.arange(list_cap)[None, None, :]
-    pos = pos.reshape(B, nprobe * list_cap)
-    cand_ids = jnp.take(row_ids, pos)
+    # gather whole LIST BLOCKS (contiguous (L, ·) units — DMA-friendly on
+    # TPU; per-row gathers of the same bytes are an order of magnitude
+    # slower through the sparse-gather path)
+    cand_ids = jnp.take(
+        row_ids.reshape(C, list_cap), probes, axis=0
+    ).reshape(B, nprobe * list_cap)
+    pk = jnp.take(packed.reshape(C, list_cap, -1), probes, axis=0)
+    sc = jnp.take(scales.reshape(C, list_cap, -1), probes, axis=0)
     resid = _decode_residual(
-        jnp.take(packed, pos, axis=0), jnp.take(scales, pos, axis=0),
+        pk.reshape(B, nprobe * list_cap, -1),
+        sc.reshape(B, nprobe * list_cap, -1),
         group_size, bits,
     )  # (B, nprobe·L, D) — fused into the einsum by XLA
     sims = jnp.einsum(
@@ -180,13 +187,15 @@ def _ivf_search(q, cent, storage, row_ids, *, k, nprobe, list_cap):
     storage: (C * L, D); row_ids: (C * L,) int32, -1 = empty slot.
     """
     B, D = q.shape
+    C = cent.shape[0]
     csims = q.astype(jnp.float32) @ cent.T.astype(jnp.float32)  # (B, C)
     _, probes = jax.lax.top_k(csims, nprobe)  # (B, nprobe)
-    # candidate row positions: probe block start + arange(L)
-    pos = probes[:, :, None] * list_cap + jnp.arange(list_cap)[None, None, :]
-    pos = pos.reshape(B, nprobe * list_cap)
-    cand_ids = jnp.take(row_ids, pos)  # (B, nprobe*L)
-    vecs = jnp.take(storage, pos, axis=0)  # (B, nprobe*L, D)
+    # gather whole list blocks (contiguous, DMA-friendly — see coded search)
+    cand_ids = jnp.take(
+        row_ids.reshape(C, list_cap), probes, axis=0
+    ).reshape(B, nprobe * list_cap)
+    vecs = jnp.take(storage.reshape(C, list_cap, D), probes, axis=0)
+    vecs = vecs.reshape(B, nprobe * list_cap, D)  # (B, nprobe*L, D)
     sims = jnp.einsum(
         "bd,bmd->bm",
         q.astype(vecs.dtype),
