@@ -34,7 +34,36 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--dtypes", nargs="+",
                    default=["bfloat16", "int8", "int4"])
+    p.add_argument("--single", action="store_true",
+                   help="internal: run exactly one dtype in-process")
     args = p.parse_args()
+
+    if not args.single and len(args.dtypes) > 1:
+        # one dtype per SUBPROCESS: the relay frees HBM only at process
+        # exit reliably, and a leftover bf16 index plus int8 decode
+        # temporaries overflow the 16 GB chip
+        import subprocess
+
+        results = {}
+        for dt in args.dtypes:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--single", "--dtypes", dt]
+            for k in ("n", "dim", "n_lists", "nprobe", "batch", "iters"):
+                cmd += [f"--{k.replace('_', '-')}", str(getattr(args, k))]
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=3600)
+            sys.stderr.write(r.stderr[-2000:])
+            if r.returncode == 0 and r.stdout.strip():
+                out = json.loads(r.stdout.strip().splitlines()[-1])
+                results[dt] = out["detail"][dt]
+        best = results.get("int8") or next(iter(results.values()))
+        print(json.dumps({
+            "metric": f"ivf_qps_n{args.n}_d{args.dim}_nprobe{args.nprobe}",
+            "value": best["qps"],
+            "unit": "qps",
+            "detail": results,
+        }))
+        return
 
     import jax
     import jax.numpy as jnp
