@@ -117,7 +117,11 @@ def _encode_residual(v, cent_rows, group_size: int, bits: int):
 
 
 def _decode_residual(codes, scales, group_size: int, bits: int):
-    """codes (..., W) int8, scales (..., G) → residuals (..., D) bf16."""
+    """codes (..., W) int8, scales (..., G) → residuals (..., D) bf16.
+
+    The whole chain stays bf16-width: int8 code values (≤127) are exact in
+    bf16, and a f32 intermediate would materialize (B, nprobe·L, D) f32
+    buffers — measured 2×8 GB at production probe shapes, an OOM."""
     p = codes.astype(jnp.int32)
     if bits == 4:
         lo = (p << 28) >> 28  # arithmetic shifts sign-extend the nibbles
@@ -129,9 +133,9 @@ def _decode_residual(codes, scales, group_size: int, bits: int):
         q = p
     D = q.shape[-1]
     G = D // group_size
-    r = q.reshape(*q.shape[:-1], G, group_size).astype(jnp.float32)
-    r = r * scales[..., None].astype(jnp.float32)
-    return r.reshape(*q.shape).astype(jnp.bfloat16)
+    r = q.reshape(*q.shape[:-1], G, group_size).astype(jnp.bfloat16)
+    r = r * scales[..., None].astype(jnp.bfloat16)
+    return r.reshape(*q.shape)
 
 
 @partial(
