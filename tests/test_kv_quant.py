@@ -99,6 +99,34 @@ def test_int8_cache_greedy_decode_matches_bf16(tiny):
     assert agree >= 0.9, (toks, list(ref))
 
 
+def test_engine_int8_kv_with_speculation(tiny):
+    """int8 KV composes with the speculative slot pool (both caches
+    quantized, scale planes scattered on insert)."""
+    from intel_extension_for_transformers_tpu.models.engine import (
+        DecodeEngine,
+        EngineRequest,
+    )
+
+    params, config = tiny
+    eng = DecodeEngine(
+        params, config, max_slots=2, max_len=64, kv_dtype="int8",
+        draft_params=params, draft_config=config, num_speculative_tokens=3,
+    ).start()
+    try:
+        prompt = np.array([4, 2, 1], np.int32)
+        s0 = eng._steps
+        outs = [
+            list(eng.submit(EngineRequest(prompt, max_new_tokens=12)).tokens())
+            for _ in range(2)
+        ]
+        assert all(len(o) == 12 for o in outs)
+        assert outs[0] == outs[1]
+        # self-draft on identical caches: near-full acceptance
+        assert eng._steps - s0 <= 10
+    finally:
+        eng.stop()
+
+
 def test_engine_int8_kv(tiny):
     """Continuous-batching engine on an int8 KV pool: concurrent requests
     complete with deterministic greedy output."""
