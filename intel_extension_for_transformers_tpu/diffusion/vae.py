@@ -52,14 +52,29 @@ def _res(x, p, groups):
 
 def _self_attn_2d(x, p, groups):
     B, H, W, C = x.shape
-    h = _group_norm(x, p["norm"], groups).reshape(B, H * W, C)
+    T = H * W
+    h = _group_norm(x, p["norm"], groups).reshape(B, T, C)
     q = h @ p["q"]["kernel"].astype(x.dtype) + p["q"]["bias"].astype(x.dtype)
     k = h @ p["k"]["kernel"].astype(x.dtype) + p["k"]["bias"].astype(x.dtype)
     v = h @ p["v"]["kernel"].astype(x.dtype) + p["v"]["bias"].astype(x.dtype)
-    att = jax.nn.softmax(
-        (q @ k.transpose(0, 2, 1) / np.sqrt(C)).astype(jnp.float32), axis=-1
-    ).astype(x.dtype)
-    o = (att @ v) @ p["o"]["kernel"].astype(x.dtype) + p["o"]["bias"].astype(x.dtype)
+    if T >= 1024:
+        # single-head spatial attention at T=H·W: the (T, T) score matrix
+        # (64 MB bf16 at 512² latents) never materializes on the flash path
+        from intel_extension_for_transformers_tpu.ops.flash_attention import (
+            flash_attention,
+        )
+
+        ctx = flash_attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :],
+            causal=False,
+        )[:, :, 0, :]
+    else:
+        att = jax.nn.softmax(
+            (q @ k.transpose(0, 2, 1) / np.sqrt(C)).astype(jnp.float32),
+            axis=-1,
+        ).astype(x.dtype)
+        ctx = att @ v
+    o = ctx @ p["o"]["kernel"].astype(x.dtype) + p["o"]["bias"].astype(x.dtype)
     return x + o.reshape(B, H, W, C)
 
 

@@ -252,12 +252,23 @@ class NLPTrainer:
             a.max_steps,
             a.seed,
         )
+        # background host→device pipeline: batch N+1 stages while step N
+        # computes (utils/prefetch.py; the grain/tf.data role, SURVEY §7)
+        from intel_extension_for_transformers_tpu.utils.prefetch import (
+            prefetch_to_device,
+        )
+
+        sh = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P("dp", None))
+        it = prefetch_to_device(it, size=2, sharding=sh)
         t0 = time.time()
         loss_val, gstep = float("nan"), start_step
         for batch in it:
             if a.max_steps > 0 and gstep >= a.max_steps:
                 break  # max_steps is a GLOBAL budget (resume continues it)
-            batch = self._shard_batch(batch)
             trainable, opt_state, loss = step(trainable, opt_state, batch)
             gstep += 1
             if hook is not None:

@@ -296,6 +296,30 @@ def test_pipeline_parallel_training(params, dataset):
     )
 
 
+def test_prefetch_to_device_order_and_errors():
+    """utils/prefetch.py: preserves order, places on device, and surfaces
+    producer exceptions on the consumer side."""
+    from intel_extension_for_transformers_tpu.utils.prefetch import (
+        prefetch_to_device,
+    )
+
+    batches = [{"x": np.full((2, 2), i, np.float32)} for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert isinstance(b["x"], jax.Array)
+        assert float(b["x"][0, 0]) == i
+
+    def bad():
+        yield {"x": np.zeros((1,), np.float32)}
+        raise RuntimeError("producer boom")
+
+    it = prefetch_to_device(bad(), size=1)
+    next(it)
+    with pytest.raises(RuntimeError, match="producer boom"):
+        list(it)
+
+
 def test_gradient_checkpointing_grads_identical(params, dataset):
     """remat=True must change memory, not math: grads bit-match the plain
     backward, and the trainer trains with it on."""
