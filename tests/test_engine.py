@@ -158,6 +158,35 @@ def test_engine_rejects_oversized_prompt(engine):
         engine.submit(EngineRequest(np.zeros(4096, np.int32)))
 
 
+def test_engine_with_tp_sharded_params(tiny):
+    """The slot pool serves a TENSOR-PARALLEL-sharded model: params shard
+    over tp on the 8-dev mesh, greedy output identical to the unsharded
+    engine — the multi-chip serving configuration."""
+    from intel_extension_for_transformers_tpu.models.llama import (
+        llama_param_axes,
+    )
+    from intel_extension_for_transformers_tpu.parallel import (
+        create_mesh,
+        shard_params,
+    )
+
+    params, config = tiny
+    mesh = create_mesh(tp=8)
+    sharded = shard_params(params, llama_param_axes(config), mesh)
+    leaf = sharded["layers"][0]["mlp"]["gate"]["kernel"]
+    assert not leaf.sharding.is_fully_replicated
+
+    eng = DecodeEngine(sharded, config, max_slots=2, max_len=128).start()
+    try:
+        prompt = np.array([5, 17, 99, 3], np.int32)
+        ref = generate(params, config, prompt,
+                       SamplingConfig(max_new_tokens=10))[0]
+        out = eng.generate(prompt, max_new_tokens=10)
+        np.testing.assert_array_equal(ref, np.array(out))
+    finally:
+        eng.stop()
+
+
 # ----------------------- speculative slot pool -----------------------
 
 
