@@ -590,7 +590,10 @@ def llama_apply_with_hidden(
     )
     qi = jnp.arange(T)[:, None]
     ki = jnp.arange(T)[None, :]
-    mask = (ki <= qi)[None, None, :, :]
+    causal = ki <= qi
+    if config.sliding_window is not None:
+        causal = causal & (qi - ki < config.sliding_window)
+    mask = causal[None, None, :, :]
     if attention_mask is not None:
         mask = mask & attention_mask.astype(bool)[:, None, None, :T]
     for layer in params["layers"]:
