@@ -107,7 +107,7 @@ class ChatApp:
 
     def __init__(
         self, chatbot, model_name: str, api_list=None, engine=None,
-        askdoc=None, finetune=None, media=None,
+        askdoc=None, finetune=None, media=None, embedder_factory=None,
     ):
         self.chatbot = chatbot
         self.model_name = model_name
@@ -116,6 +116,8 @@ class ChatApp:
         self.askdoc = askdoc  # AskDocRouter (task "retrieval"/"askdoc")
         self.finetune = finetune  # FinetuneRouter (task "finetune")
         self.media = media  # MediaRouter (tasks "voicechat"/"text2image")
+        self._embedder_factory = embedder_factory  # task "embeddings"
+        self._embedder = None
         self._gen_lock = threading.Lock()
 
     # ------------------------------ engine path ------------------------------
@@ -338,6 +340,32 @@ class ChatApp:
 
         return 200, events()
 
+    def handle_embeddings(self, body: dict):
+        """POST /v1/embeddings — OpenAI embeddings wire format over the
+        resident BGE encoder (the encode side of the RAG north star)."""
+        inputs = (body or {}).get("input")
+        if inputs is None:
+            return 400, ErrorResponse("input must be set").to_body()
+        texts = [inputs] if isinstance(inputs, str) else list(inputs)
+        if not texts or not all(isinstance(t, str) and t for t in texts):
+            return 400, ErrorResponse(
+                "input must be a non-empty string or list of strings"
+            ).to_body()
+        if self._embedder is None:
+            self._embedder = self._embedder_factory()
+        vecs = self._embedder.encode(texts)
+        data = [
+            {"object": "embedding", "index": i, "embedding": [float(x) for x in v]}
+            for i, v in enumerate(vecs)
+        ]
+        toks = sum(self._count_tokens(t) for t in texts)
+        return 200, {
+            "object": "list",
+            "data": data,
+            "model": body.get("model") or self.model_name,
+            "usage": {"prompt_tokens": toks, "total_tokens": toks},
+        }
+
     def handle_completion(self, body: dict):
         req = CompletionRequest.from_dict(body)
         prompts = req.prompt if isinstance(req.prompt, list) else [req.prompt]
@@ -427,6 +455,13 @@ class ChatApp:
             and "completion" in self.api_list
         ):
             return self.handle_completion(body or {})
+        # -- embeddings (OpenAI wire format over the BGE encoder) --
+        if (
+            method == "POST" and path == "/v1/embeddings"
+            and "embeddings" in self.api_list
+            and self._embedder_factory is not None
+        ):
+            return self.handle_embeddings(body or {})
         # -- codegen router (reference: restful/api.py 'codegen') --
         if "codegen" in self.api_list:
             if method == "POST" and path == "/v1/code_generation":
@@ -601,6 +636,9 @@ class NeuralChatServerExecutor:
             )
 
             media = MediaRouter(self.chatbot)
+        embedder_factory = None
+        if "embeddings" in api_list:
+            embedder_factory = self._embedder_factory_from(config)
         self.app = ChatApp(
             self.chatbot,
             pipeline.model_name_or_path,
@@ -609,8 +647,35 @@ class NeuralChatServerExecutor:
             askdoc=askdoc,
             finetune=finetune,
             media=media,
+            embedder_factory=embedder_factory,
         )
         return True
+
+    def _embedder_factory_from(self, config: dict):
+        """Same resolution order as askdoc: preloaded → retrieval plugin's
+        embedder → load by name."""
+        cfg = dict(config.get("embedding_config")
+                   or config.get("askdoc_config") or {})
+        preloaded = cfg.pop("embedder", None)
+        model_name = cfg.pop("embedding_model", "BAAI/bge-small-en-v1.5")
+
+        def factory():
+            if preloaded is not None:
+                return preloaded
+            from intel_extension_for_transformers_tpu.neural_chat.plugins import (
+                get_plugin_instance,
+            )
+
+            agent = get_plugin_instance("retrieval")
+            if agent is not None and getattr(agent, "embedder", None) is not None:
+                return agent.embedder
+            from intel_extension_for_transformers_tpu.retrieval.embedder import (
+                TextEmbedder,
+            )
+
+            return TextEmbedder.from_pretrained(model_name)
+
+        return factory
 
     def _build_askdoc(self, config: dict):
         """askdoc KBs share the retrieval plugin's embedder when that plugin

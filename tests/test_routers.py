@@ -48,7 +48,7 @@ def server(tmp_path_factory):
             "model_name_or_path": "tiny-router-test",
             "tasks_list": [
                 "textchat", "completion", "models", "health",
-                "retrieval", "finetune",
+                "retrieval", "finetune", "embeddings",
             ],
             "loading_config": {"preloaded": (params, config, ByteTokenizer())},
             "generation_config": {
@@ -147,6 +147,28 @@ def test_finetune_job_lifecycle(server):
 
     status, out = _req(server, "GET", "/v1/finetune/jobs")
     assert status == 200 and len(out["jobs"]) >= 1
+
+
+def test_embeddings_endpoint(server):
+    """OpenAI /v1/embeddings wire format over the resident encoder."""
+    status, out = _req(
+        server, "POST", "/v1/embeddings",
+        {"input": ["tpu systolic arrays", "matrix multiplication"]},
+        timeout=300,
+    )
+    assert status == 200, out
+    assert out["object"] == "list" and len(out["data"]) == 2
+    v0 = np.asarray(out["data"][0]["embedding"], np.float32)
+    assert v0.ndim == 1 and np.isfinite(v0).all()
+    assert abs(np.linalg.norm(v0) - 1.0) < 1e-2  # normalized embeddings
+    assert out["usage"]["total_tokens"] > 0
+
+    status, out1 = _req(server, "POST", "/v1/embeddings", {"input": "hello"})
+    assert status == 200 and len(out1["data"]) == 1
+    status, _ = _req(server, "POST", "/v1/embeddings", {})
+    assert status == 400
+    status, _ = _req(server, "POST", "/v1/embeddings", {"input": []})
+    assert status == 400
 
 
 def test_finetune_rejects_empty(server):
