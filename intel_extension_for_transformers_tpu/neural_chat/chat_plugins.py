@@ -322,31 +322,41 @@ class AsrPlugin:
         self.max_new_tokens = max_new_tokens
 
     def audio2text(self, audio, sampling_rate: int = 16000) -> str:
-        """mono waveform in [-1, 1] → transcription."""
+        """mono waveform in [-1, 1] → transcription.
+
+        Long-form audio transcribes in sequential encoder-window chunks
+        (Whisper's 30 s budget; reference asr.py chunks via the HF pipeline
+        the same sequential way) — each chunk reuses the SAME compiled
+        encode/decode programs, so chunk count never retraces."""
         import numpy as np
 
-        mel = self._W.log_mel_spectrogram(
-            np.asarray(audio, np.float32), n_mels=self.config.num_mel_bins
-        )
-        # bound frames to the encoder's static budget (2x positions: conv s2)
-        max_frames = self.config.max_source_positions * 2
-        mel = mel[:, :max_frames]
-        if mel.shape[1] < max_frames:
-            import numpy as _np
-
-            mel = _np.pad(mel, ((0, 0), (0, max_frames - mel.shape[1])))
-        ids = self._W.whisper_generate(
-            self.params,
-            self.config,
-            mel[None],
-            np.asarray([self.prompt_ids], np.int32),
-            max_new_tokens=self.max_new_tokens,
-            eos_token_id=self.eos_token_id,
-        )[0]
-        if self.eos_token_id is not None:
-            keep = ids != self.eos_token_id
-            ids = ids[keep]
-        return self.tokenizer.decode(list(ids), skip_special_tokens=True)
+        audio = np.asarray(audio, np.float32)
+        max_frames = self.config.max_source_positions * 2  # conv stride 2
+        hop = 160  # mel hop length at 16 kHz
+        window_samples = max_frames * hop
+        pieces = []
+        for s0 in range(0, max(len(audio), 1), window_samples):
+            chunk = audio[s0 : s0 + window_samples]
+            mel = self._W.log_mel_spectrogram(
+                chunk, n_mels=self.config.num_mel_bins
+            )
+            mel = mel[:, :max_frames]
+            if mel.shape[1] < max_frames:
+                mel = np.pad(mel, ((0, 0), (0, max_frames - mel.shape[1])))
+            ids = self._W.whisper_generate(
+                self.params,
+                self.config,
+                mel[None],
+                np.asarray([self.prompt_ids], np.int32),
+                max_new_tokens=self.max_new_tokens,
+                eos_token_id=self.eos_token_id,
+            )[0]
+            if self.eos_token_id is not None:
+                ids = ids[ids != self.eos_token_id]
+            text = self.tokenizer.decode(list(ids), skip_special_tokens=True)
+            if text:
+                pieces.append(text.strip())
+        return " ".join(pieces)
 
     # plugin pre-hook protocol: audio query → text query
     def pre_llm_inference_actions(self, query):

@@ -114,3 +114,12 @@ def test_asr_plugin_end_to_end():
     assert isinstance(text, str)
     # pre-hook protocol: strings pass through untouched
     assert plugin.pre_llm_inference_actions("hello") == "hello"
+
+    # LONG-FORM: audio past the encoder window transcribes in sequential
+    # chunks through the same compiled programs (no truncation)
+    window = cfg.max_source_positions * 2 * 160
+    long_audio = np.tile(audio, (3 * window) // len(audio) + 1)[: 3 * window]
+    long_text = plugin.audio2text(long_audio)
+    assert isinstance(long_text, str)
+    # each chunk contributes: the joined text repeats the single-window text
+    assert long_text.count(text.strip()) >= 2 if text.strip() else True
