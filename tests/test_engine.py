@@ -158,6 +158,28 @@ def test_engine_rejects_oversized_prompt(engine):
         engine.submit(EngineRequest(np.zeros(4096, np.int32)))
 
 
+def test_engine_with_int4_quantized_params(tiny):
+    """The slot pool serves WOQ-int4 weights (QuantizedTensor leaves flow
+    through the vmapped decode step) — the production INT4 serving config;
+    greedy parity with single-stream decode on the same quantized model."""
+    from intel_extension_for_transformers_tpu.quantization import (
+        RtnConfig,
+        quantize_model,
+    )
+
+    params, config = tiny
+    qp = quantize_model(params, RtnConfig(weight_dtype="int4", group_size=32))
+    prompt = np.array([5, 17, 99, 3], np.int32)
+    ref = generate(qp.params, config, prompt,
+                   SamplingConfig(max_new_tokens=10))[0]
+    eng = DecodeEngine(qp.params, config, max_slots=2, max_len=128).start()
+    try:
+        out = eng.generate(prompt, max_new_tokens=10)
+        np.testing.assert_array_equal(ref, np.array(out))
+    finally:
+        eng.stop()
+
+
 def test_engine_with_tp_sharded_params(tiny):
     """The slot pool serves a TENSOR-PARALLEL-sharded model: params shard
     over tp on the 8-dev mesh, greedy output identical to the unsharded
