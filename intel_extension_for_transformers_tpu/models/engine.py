@@ -59,9 +59,12 @@ def sample_logits_per_slot(
     do_sample: jax.Array,  # (B,) bool
     rep_penalty: jax.Array,  # (B,), 1 = off
     seen: jax.Array,  # (B, V) bool
+    allow: jax.Array = None,  # (B, V) bool — guided decoding mask
 ) -> jax.Array:
     """Vectorized per-slot sampler (each row has its own knobs)."""
     logits = logits.astype(jnp.float32)
+    if allow is not None:
+        logits = jnp.where(allow, logits, -jnp.inf)
     rp = rep_penalty[:, None]
     penalized = jnp.where(logits > 0, logits / rp, logits * rp)
     logits = jnp.where(seen & (rp != 1.0), penalized, logits)
@@ -95,7 +98,7 @@ def sample_logits_per_slot(
 @partial(jax.jit, static_argnames=("config",))
 def _engine_step(
     params, config, cache, tokens, rng,
-    temperature, top_k, top_p, do_sample, rep_penalty, seen,
+    temperature, top_k, top_p, do_sample, rep_penalty, seen, allow,
 ):
     """One decode step for all slots: vmapped apply + per-slot sampling."""
     apply_fn = get_apply_fn(config)
@@ -107,7 +110,8 @@ def _engine_step(
     logits, cache = jax.vmap(one)(cache, tokens)  # (B, V)
     rng, sub = jax.random.split(rng)
     nxt = sample_logits_per_slot(
-        logits, sub, temperature, top_k, top_p, do_sample, rep_penalty, seen
+        logits, sub, temperature, top_k, top_p, do_sample, rep_penalty, seen,
+        allow,
     )
     seen = seen | jax.nn.one_hot(nxt, seen.shape[-1], dtype=jnp.bool_)
     return nxt, cache, rng, seen
@@ -117,7 +121,8 @@ def _engine_step(
 def _spec_engine_step(
     params, config, draft_params, draft_config, cache, draft_cache,
     tokens, rng,
-    temperature, top_k, top_p, do_sample, rep_penalty, seen, gamma: int,
+    temperature, top_k, top_p, do_sample, rep_penalty, seen, allow,
+    gamma: int,
 ):
     """One SPECULATIVE decode step for all slots (draft-and-verify).
 
@@ -171,14 +176,16 @@ def _spec_engine_step(
     # n = longest accepted prefix (d_{i+1} == g_i); sampling/penalty → n=0
     ok = (drafts == greedy[:, :gamma]).astype(jnp.int32)
     n = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)  # (B,)
-    spec_ok = (~do_sample) & (rep_penalty == 1.0)
+    guided = ~jnp.all(allow, axis=-1)  # constrained slots step one-by-one
+    spec_ok = (~do_sample) & (rep_penalty == 1.0) & (~guided)
     n = jnp.where(spec_ok, n, 0)
 
     # correction/extension token: g_n for greedy slots, per-slot sample of
     # l0 for the forced-n=0 slots
     rng, sub = jax.random.split(rng)
     sampled0 = sample_logits_per_slot(
-        logits[:, 0], sub, temperature, top_k, top_p, do_sample, rep_penalty, seen
+        logits[:, 0], sub, temperature, top_k, top_p, do_sample, rep_penalty,
+        seen, allow,
     )
     gn = jnp.take_along_axis(greedy, n[:, None], axis=1)[:, 0]
     nxt = jnp.where(spec_ok, gn, sampled0)
@@ -246,7 +253,7 @@ def _insert_slot(batch_cache, slot_cache, slot, seen_all, seen_row):
 
 
 @jax.jit
-def _first_token(last_logits, rng, cfg_arrays, seen_row):
+def _first_token(last_logits, rng, cfg_arrays, seen_row, allow_row):
     temperature, top_k, top_p, do_sample, rep = cfg_arrays
     tok = sample_logits_per_slot(
         last_logits[None],
@@ -257,6 +264,7 @@ def _first_token(last_logits, rng, cfg_arrays, seen_row):
         do_sample[None],
         rep[None],
         seen_row[None],
+        allow_row[None],
     )[0]
     return tok, seen_row | jax.nn.one_hot(tok, seen_row.shape[0], dtype=jnp.bool_)
 
@@ -274,6 +282,10 @@ class EngineRequest:
     do_sample: bool = False
     repetition_penalty: float = 1.0
     eos_token_id: Optional[int] = None
+    # guided choice (vLLM-style constrained decoding): token sequences, one
+    # per allowed output string — every emitted token must extend one of
+    # them; the slot finishes when a full sequence has been emitted
+    guided_token_seqs: Optional[list] = None
     out: "queue.Queue" = field(default_factory=queue.Queue)
     cancelled: bool = field(default=False)
 
@@ -341,6 +353,8 @@ class DecodeEngine:
         )
         self._tokens = jnp.zeros((max_slots,), jnp.int32)
         self._seen = jnp.zeros((max_slots, V), jnp.bool_)
+        self._allow = jnp.ones((max_slots, V), jnp.bool_)
+        self._guides: list = [None] * max_slots
         self._rng = jax.random.PRNGKey(seed)
         # per-slot sampling knobs (host mirrors; device arrays rebuilt on join)
         self._temp = np.ones((max_slots,), np.float32)
@@ -438,7 +452,15 @@ class DecodeEngine:
             jnp.bool_(req.do_sample),
             jnp.float32(req.repetition_penalty),
         )
-        tok, seen_row = _first_token(last, sub, cfg_arrays, seen_row)
+        guide = None
+        if req.guided_token_seqs:
+            seqs = [list(map(int, s)) for s in req.guided_token_seqs if len(s)]
+            if seqs:
+                guide = {"seqs": seqs, "pos": 0}
+        self._guides[slot] = guide
+        allow_row = self._allow_row_for(guide)
+        self._allow = self._allow.at[slot].set(allow_row)
+        tok, seen_row = _first_token(last, sub, cfg_arrays, seen_row, allow_row)
         self._cache, self._seen = _insert_slot(
             self._cache, slot_cache, jnp.int32(slot), self._seen, seen_row
         )
@@ -456,6 +478,47 @@ class DecodeEngine:
         self._emitted[slot] = 0
         # the prefill already produced the first token — emit it now
         self._emit(slot, int(tok))
+        self._post_emit(slot, int(tok))
+
+    def _allow_row_for(self, guide) -> jnp.ndarray:
+        V = self.config.vocab_size
+        if guide is None:
+            return jnp.ones((V,), jnp.bool_)
+        row = np.zeros((V,), bool)
+        pos = guide["pos"]
+        for seq in guide["seqs"]:
+            if len(seq) > pos:
+                row[seq[pos]] = True
+        if not row.any():  # degenerate guide: unconstrain rather than stall
+            row[:] = True
+        return jnp.asarray(row)
+
+    def _post_emit(self, slot: int, token: int) -> None:
+        """Advance the slot's guided-choice state after a token emits;
+        finish on the shortest complete match; clear state on slot exit."""
+        if self._slots[slot] is None:
+            if self._guides[slot] is not None:  # slot ended some other way
+                self._guides[slot] = None
+                self._allow = self._allow.at[slot].set(True)
+            return
+        g = self._guides[slot]
+        if g is None:
+            return
+        pos = g["pos"]
+        g["seqs"] = [s for s in g["seqs"] if len(s) > pos and s[pos] == token]
+        g["pos"] = pos + 1
+        complete = (not g["seqs"]) or any(
+            len(s) == g["pos"] for s in g["seqs"]
+        )
+        if complete:
+            req = self._slots[slot]
+            req.out.put(EngineRequest._DONE)
+            self._slots[slot] = None
+            self._total_requests += 1
+            self._guides[slot] = None
+            self._allow = self._allow.at[slot].set(True)
+        else:
+            self._allow = self._allow.at[slot].set(self._allow_row_for(g))
 
     def _emit(self, slot: int, token: int) -> None:
         req = self._slots[slot]
@@ -516,6 +579,7 @@ class DecodeEngine:
                     jnp.asarray(self._dos),
                     jnp.asarray(self._rep),
                     self._seen,
+                    self._allow,
                     self.gamma,
                 )
                 self._steps += 1
@@ -524,7 +588,9 @@ class DecodeEngine:
                     for j in range(int(oc[slot])):
                         if self._slots[slot] is None:
                             break  # EOS/limit mid-step: drop the tail
-                        self._emit(slot, int(ot[slot, j]))
+                        t = int(ot[slot, j])
+                        self._emit(slot, t)
+                        self._post_emit(slot, t)
             else:
                 self._tokens, self._cache, self._rng, self._seen = _engine_step(
                     self.params,
@@ -538,12 +604,15 @@ class DecodeEngine:
                     jnp.asarray(self._dos),
                     jnp.asarray(self._rep),
                     self._seen,
+                    self._allow,
                 )
                 self._steps += 1
                 toks = np.asarray(self._tokens)
                 for slot in range(self.max_slots):
                     if self._slots[slot] is not None:
-                        self._emit(slot, int(toks[slot]))
+                        t = int(toks[slot])
+                        self._emit(slot, t)
+                        self._post_emit(slot, t)
 
     # ----------------------------- conveniences -----------------------------
 

@@ -158,6 +158,36 @@ def test_engine_rejects_oversized_prompt(engine):
         engine.submit(EngineRequest(np.zeros(4096, np.int32)))
 
 
+def test_engine_guided_choice(engine, tiny):
+    """Guided-choice decoding: every emitted token must extend one of the
+    given sequences, the slot finishes on the shortest complete match, and
+    a concurrent FREE request stays bit-exact."""
+    params, config = tiny
+    prompt = np.array([5, 17, 99, 3], np.int32)
+    free_ref = generate(params, config, prompt,
+                        SamplingConfig(max_new_tokens=8))[0]
+    # choices deliberately unlike the model's greedy continuation
+    choices = [[7, 8, 9, 10], [7, 11], [200, 201, 202]]
+    r_guided = engine.submit(
+        EngineRequest(prompt, max_new_tokens=16, guided_token_seqs=choices)
+    )
+    r_free = engine.submit(EngineRequest(prompt, max_new_tokens=8))
+    out_g = list(r_guided.tokens())
+    out_f = list(r_free.tokens())
+    np.testing.assert_array_equal(free_ref, np.array(out_f))
+    assert out_g in ([7, 8, 9, 10], [7, 11], [200, 201, 202]), out_g
+
+    # prefix-overlapping choices: the SHORTEST full match wins
+    out2 = list(
+        engine.submit(
+            EngineRequest(prompt, max_new_tokens=16,
+                          guided_token_seqs=[[42, 1, 2, 3], [42, 1]])
+        ).tokens()
+    )
+    assert out2 == [42, 1]
+    assert engine.active_slots == 0
+
+
 def test_engine_with_int4_quantized_params(tiny):
     """The slot pool serves WOQ-int4 weights (QuantizedTensor leaves flow
     through the vmapped decode step) — the production INT4 serving config;
