@@ -121,12 +121,32 @@ class ChatApp:
         self._gen_lock = threading.Lock()
 
     # ------------------------------ engine path ------------------------------
-    def _engine_submit(self, query: str, cfg: GenerationConfig):
+    def _encode_choice(self, text: str):
+        """Tokenize a guided-choice string WITHOUT special tokens."""
+        tok = self.chatbot.tokenizer
+        try:
+            ids = tok.encode(text, add_special_tokens=False)
+        except TypeError:
+            try:
+                ids = tok.encode(text, add_bos=False)
+            except TypeError:
+                ids = tok.encode(text)
+        ids = list(ids.ids if hasattr(ids, "ids") else ids)
+        bos = getattr(tok, "bos_token_id", None)
+        if bos is not None and ids and ids[0] == bos:
+            ids = ids[1:]
+        return ids
+
+    def _engine_submit(self, query: str, cfg: GenerationConfig,
+                       guided_choice=None):
         from intel_extension_for_transformers_tpu.models.engine import (
             EngineRequest,
         )
 
         ids = self.chatbot._encode_prompt(query)
+        guided = None
+        if guided_choice:
+            guided = [self._encode_choice(c) for c in guided_choice]
         req = EngineRequest(
             prompt_ids=ids,
             max_new_tokens=cfg.max_new_tokens,
@@ -136,10 +156,12 @@ class ChatApp:
             do_sample=cfg.do_sample,
             repetition_penalty=cfg.repetition_penalty,
             eos_token_id=self.chatbot._eos_id,
+            guided_token_seqs=guided,
         )
         return self.engine.submit(req)
 
-    def _engine_text_stream(self, query: str, cfg: GenerationConfig):
+    def _engine_text_stream(self, query: str, cfg: GenerationConfig,
+                            guided_choice=None):
         """→ iterator of text deltas from the shared decode pool."""
         import numpy as np
 
@@ -147,7 +169,7 @@ class ChatApp:
             detokenize_stream,
         )
 
-        req = self._engine_submit(query, cfg)
+        req = self._engine_submit(query, cfg, guided_choice)
         token_arrays = (np.array([t]) for t in req.tokens())
         deltas = detokenize_stream(token_arrays, self.chatbot.tokenizer)
 
@@ -186,10 +208,16 @@ class ChatApp:
             return 400, ErrorResponse("messages must be non-empty").to_body()
         cfg = _merge_generation_config(self.chatbot.generation_config, req)
         query = _messages_to_query(req.messages)
+        if req.guided_choice and self.engine is None:
+            return 400, ErrorResponse(
+                "guided_choice requires continuous_batching"
+            ).to_body()
         if req.stream:
-            return 200, self._chat_stream(query, cfg)
+            return 200, self._chat_stream(query, cfg, req.guided_choice)
         if self.engine is not None:
-            text = "".join(self._engine_text_stream(query, cfg))
+            text = "".join(
+                self._engine_text_stream(query, cfg, req.guided_choice)
+            )
         else:
             with self._gen_lock:
                 text = self.chatbot.predict(query, cfg)
@@ -207,7 +235,8 @@ class ChatApp:
         )
         return 200, asdict_clean(resp)
 
-    def _chat_stream(self, query: str, cfg: GenerationConfig):
+    def _chat_stream(self, query: str, cfg: GenerationConfig,
+                     guided_choice=None):
         """→ generator of SSE event strings (reference:
         chat_completion_stream_generator textchat_api.py:219)."""
         chunk_id = ChatCompletionChunk(model=self.model_name).id
@@ -224,7 +253,7 @@ class ChatApp:
             )
             yield f"data: {json.dumps(asdict_clean(first))}\n\n"
             if self.engine is not None:
-                deltas = self._engine_text_stream(query, cfg)
+                deltas = self._engine_text_stream(query, cfg, guided_choice)
             else:
                 deltas = _locked_iter(self._gen_lock,
                                       self.chatbot.predict_stream(query, cfg))

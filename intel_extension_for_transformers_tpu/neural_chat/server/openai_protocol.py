@@ -61,6 +61,8 @@ class ChatCompletionRequest:
     stop: Optional[Any] = None
     repetition_penalty: Optional[float] = None
     seed: Optional[int] = None
+    # extension (vLLM-style guided decoding): output must be one of these
+    guided_choice: Optional[List[str]] = None
 
     @classmethod
     def from_dict(cls, d: Dict) -> "ChatCompletionRequest":

@@ -158,6 +158,26 @@ def test_engine_rejects_oversized_prompt(engine):
         engine.submit(EngineRequest(np.zeros(4096, np.int32)))
 
 
+def test_server_guided_choice(cb_server):
+    """guided_choice over HTTP: the completion is exactly one of the
+    offered strings (vLLM-style constrained decoding extension)."""
+    import json as _json
+    from urllib.request import Request, urlopen
+
+    port = cb_server.port
+    body = _json.dumps({
+        "model": "tiny-llama-cb",
+        "messages": [{"role": "user", "content": "Is the sky blue?"}],
+        "guided_choice": ["yes", "no"],
+        "max_tokens": 16,
+    }).encode()
+    out = _json.loads(urlopen(
+        Request(f"http://127.0.0.1:{port}/v1/chat/completions", body,
+                {"Content-Type": "application/json"}), timeout=300,
+    ).read())
+    assert out["choices"][0]["message"]["content"] in ("yes", "no")
+
+
 def test_engine_guided_choice(engine, tiny):
     """Guided-choice decoding: every emitted token must extend one of the
     given sequences, the slot finishes on the shortest complete match, and
