@@ -214,24 +214,31 @@ class ChatApp:
             ).to_body()
         if req.stream:
             return 200, self._chat_stream(query, cfg, req.guided_choice)
+        n = max(1, int(req.n or 1))
         if self.engine is not None:
-            text = "".join(
+            # n>1 choices decode CONCURRENTLY in the slot pool
+            streams = [
                 self._engine_text_stream(query, cfg, req.guided_choice)
-            )
+                for _ in range(n)
+            ]
+            texts = ["".join(st) for st in streams]
         else:
-            with self._gen_lock:
-                text = self.chatbot.predict(query, cfg)
-        usage = UsageInfo(
-            prompt_tokens=self._count_tokens(query),
-            completion_tokens=self._count_tokens(text),
-        )
+            texts = []
+            for _ in range(n):
+                with self._gen_lock:
+                    texts.append(self.chatbot.predict(query, cfg))
+        usage = UsageInfo(prompt_tokens=self._count_tokens(query))
+        choices = []
+        for i, text in enumerate(texts):
+            choices.append(
+                ChatCompletionChoice(
+                    index=i, message=ChatMessage("assistant", text)
+                )
+            )
+            usage.completion_tokens += self._count_tokens(text)
         usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
         resp = ChatCompletionResponse(
-            model=self.model_name,
-            choices=[
-                ChatCompletionChoice(index=0, message=ChatMessage("assistant", text))
-            ],
-            usage=usage,
+            model=self.model_name, choices=choices, usage=usage,
         )
         return 200, asdict_clean(resp)
 
