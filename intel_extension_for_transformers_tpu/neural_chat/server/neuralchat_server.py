@@ -76,6 +76,42 @@ def _merge_generation_config(
     return dataclasses.replace(base, **kw)
 
 
+def _normalize_stops(stop) -> list:
+    if not stop:
+        return []
+    return [stop] if isinstance(stop, str) else [s for s in stop if s]
+
+
+def _apply_stop(deltas, stops, on_stop=None):
+    """Truncate a text-delta stream at the first stop sequence (OpenAI
+    `stop`), holding back a stop-length tail so sequences split across
+    deltas are caught; on_stop fires when truncation happens (used to
+    cancel the engine request and free its slot)."""
+    if not stops:
+        yield from deltas
+        return
+    L = max(len(x) for x in stops)
+    buf, emitted = "", 0
+    for d in deltas:
+        buf += d
+        hits = [buf.find(x) for x in stops if x in buf]
+        if hits:
+            cut = min(hits)
+            if cut > emitted:
+                yield buf[emitted:cut]
+            if on_stop is not None:
+                on_stop()
+            if hasattr(deltas, "close"):
+                deltas.close()  # fire the stream's cleanup (engine cancel)
+            return
+        safe = len(buf) - (L - 1)
+        if safe > emitted:
+            yield buf[emitted:safe]
+            emitted = safe
+    if len(buf) > emitted:
+        yield buf[emitted:]
+
+
 def _locked_iter(lock, it):
     """Drain an iterator while holding a lock (single-stream fallback)."""
     with lock:
@@ -161,7 +197,7 @@ class ChatApp:
         return self.engine.submit(req)
 
     def _engine_text_stream(self, query: str, cfg: GenerationConfig,
-                            guided_choice=None):
+                            guided_choice=None, stops=None):
         """→ iterator of text deltas from the shared decode pool."""
         import numpy as np
 
@@ -181,7 +217,7 @@ class ChatApp:
                 # no-op when the request already finished
                 req.cancel()
 
-        return gen()
+        return _apply_stop(gen(), _normalize_stops(stops))
 
     # ---------------------------------------------------------- helpers
     def _count_tokens(self, text: str) -> int:
@@ -213,12 +249,15 @@ class ChatApp:
                 "guided_choice requires continuous_batching"
             ).to_body()
         if req.stream:
-            return 200, self._chat_stream(query, cfg, req.guided_choice)
+            return 200, self._chat_stream(
+                query, cfg, req.guided_choice, _normalize_stops(req.stop)
+            )
         n = max(1, int(req.n or 1))
+        stops = _normalize_stops(req.stop)
         if self.engine is not None:
             # n>1 choices decode CONCURRENTLY in the slot pool
             streams = [
-                self._engine_text_stream(query, cfg, req.guided_choice)
+                self._engine_text_stream(query, cfg, req.guided_choice, stops)
                 for _ in range(n)
             ]
             texts = ["".join(st) for st in streams]
@@ -227,6 +266,7 @@ class ChatApp:
             for _ in range(n):
                 with self._gen_lock:
                     texts.append(self.chatbot.predict(query, cfg))
+            texts = ["".join(_apply_stop(iter([t]), stops)) for t in texts]
         usage = UsageInfo(prompt_tokens=self._count_tokens(query))
         choices = []
         for i, text in enumerate(texts):
@@ -243,7 +283,7 @@ class ChatApp:
         return 200, asdict_clean(resp)
 
     def _chat_stream(self, query: str, cfg: GenerationConfig,
-                     guided_choice=None):
+                     guided_choice=None, stops=None):
         """→ generator of SSE event strings (reference:
         chat_completion_stream_generator textchat_api.py:219)."""
         chunk_id = ChatCompletionChunk(model=self.model_name).id
@@ -260,10 +300,15 @@ class ChatApp:
             )
             yield f"data: {json.dumps(asdict_clean(first))}\n\n"
             if self.engine is not None:
-                deltas = self._engine_text_stream(query, cfg, guided_choice)
+                deltas = self._engine_text_stream(
+                    query, cfg, guided_choice, stops
+                )
             else:
-                deltas = _locked_iter(self._gen_lock,
-                                      self.chatbot.predict_stream(query, cfg))
+                deltas = _apply_stop(
+                    _locked_iter(self._gen_lock,
+                                 self.chatbot.predict_stream(query, cfg)),
+                    stops,
+                )
             for delta in deltas:
                 chunk = ChatCompletionChunk(
                     id=chunk_id,
@@ -411,15 +456,19 @@ class ChatApp:
                 return 400, ErrorResponse("stream needs exactly 1 prompt").to_body()
             return 200, self._completion_stream(prompts[0], cfg)
         choices, usage = [], UsageInfo()
+        stops = _normalize_stops(req.stop)
         if self.engine is not None:
             # multi-prompt completions decode CONCURRENTLY in the slot pool
-            streams = [self._engine_text_stream(p, cfg) for p in prompts]
+            streams = [
+                self._engine_text_stream(p, cfg, stops=stops) for p in prompts
+            ]
             texts = ["".join(s) for s in streams]
         else:
             texts = []
             for p in prompts:
                 with self._gen_lock:
                     texts.append(self.chatbot.predict(p, cfg))
+            texts = ["".join(_apply_stop(iter([t]), stops)) for t in texts]
         for i, (p, text) in enumerate(zip(prompts, texts)):
             choices.append(CompletionChoice(index=i, text=text))
             usage.prompt_tokens += self._count_tokens(p)

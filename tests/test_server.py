@@ -172,3 +172,28 @@ def test_side_by_side_page(server):
     conn.close()
     assert resp.status == 200
     assert "side-by-side" in body and "/v1/chat/completions" in body
+
+
+def test_apply_stop_streaming_semantics():
+    """OpenAI stop sequences: truncate before the first stop, catch stops
+    split across delta boundaries, pass through when absent."""
+    from intel_extension_for_transformers_tpu.neural_chat.server.neuralchat_server import (
+        _apply_stop,
+        _normalize_stops,
+    )
+
+    assert _normalize_stops(None) == []
+    assert _normalize_stops("X") == ["X"]
+    assert _normalize_stops(["a", "", "b"]) == ["a", "b"]
+
+    out = "".join(_apply_stop(iter(["hello ST", "OP world"]), ["STOP"]))
+    assert out == "hello "
+    out = "".join(_apply_stop(iter(["abc", "def"]), ["ZZZ"]))
+    assert out == "abcdef"
+    out = "".join(_apply_stop(iter(["one|two"]), ["|"]))
+    assert out == "one"
+    fired = []
+    out = "".join(
+        _apply_stop(iter(["xSTOPy"]), ["STOP"], lambda: fired.append(1))
+    )
+    assert out == "x" and fired == [1]
