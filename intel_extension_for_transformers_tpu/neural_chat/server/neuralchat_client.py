@@ -96,3 +96,15 @@ class TextChatClientExecutor:
                         yield delta
         finally:
             conn.close()
+
+    def embeddings(self, texts, model: str = "") -> List[List[float]]:
+        """POST /v1/embeddings → list of vectors (OpenAI wire format)."""
+        if isinstance(texts, str):
+            texts = [texts]
+        out = self._post("/v1/embeddings", {"model": model, "input": texts})
+        data = sorted(out["data"], key=lambda d: d["index"])
+        return [d["embedding"] for d in data]
+
+    def stats(self) -> dict:
+        """GET /v1/stats — serving counters (slot pool utilization etc.)."""
+        return self.get("/v1/stats")

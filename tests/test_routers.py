@@ -171,6 +171,17 @@ def test_embeddings_endpoint(server):
     assert status == 400
 
 
+def test_client_embeddings_and_stats(server):
+    from intel_extension_for_transformers_tpu.neural_chat.server.neuralchat_client import (
+        TextChatClientExecutor,
+    )
+
+    c = TextChatClientExecutor("127.0.0.1", server.port)
+    vecs = c.embeddings(["alpha", "beta"])
+    assert len(vecs) == 2 and len(vecs[0]) > 8
+    assert "model" in c.stats()
+
+
 def test_finetune_rejects_empty(server):
     status, out = _req(server, "POST", "/v1/finetune", {})
     assert status == 400
