@@ -74,11 +74,13 @@ class DDIMScheduler:
 class PNDMScheduler:
     """PNDM (pseudo linear multistep, the SD1.x default).
 
-    The first step seeds the eps history with the plain DDIM update (the
-    `prk`-skipping variant diffusers uses with skip_prk_steps=True degrades
-    to exactly this); later steps use the 2nd/3rd/4th-order Adams–Bashforth
-    combination of stored eps. Functional: the eps history is part of the
-    loop carry, shape (4, ...) — static for `lax.fori_loop`.
+    The first step seeds the eps history with a plain DDIM update. This is
+    an approximation of diffusers' skip_prk_steps=True PLMS variant, whose
+    first step is a Heun-style two-evaluation corrector — so the earliest
+    steps deviate slightly from the SD1.5 reference scheduler before the
+    multistep history takes over. Later steps use the same 2nd/3rd/4th-order
+    Adams–Bashforth combination of stored eps. Functional: the eps history
+    is part of the loop carry, shape (4, ...) — static for `lax.fori_loop`.
     """
 
     num_train_timesteps: int = 1000

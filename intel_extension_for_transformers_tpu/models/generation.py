@@ -215,17 +215,27 @@ def detokenize_stream(
 ) -> Iterator[str]:
     """Incremental detokenizer: yields printable text deltas
     (role of HF TextIteratorStreamer in reference predict_stream)."""
+    # Windowed decode (the HF TextIteratorStreamer scheme): only the tokens
+    # since the last emitted delta are ever re-decoded, so per-request cost
+    # is O(n) in generated length instead of O(n^2) (ADVICE r2). Text that
+    # has been yielded is never re-derived.
     acc: list[int] = []
-    printed = ""
+    prefix_offset = 0  # start of the held-back decode window
+    read_offset = 0    # end of the already-emitted portion of the window
     for tok in token_iter:
         acc.append(int(tok[0]) if tok.ndim else int(tok))
-        text = tokenizer.decode(acc, skip_special_tokens=skip_special_tokens)
+        prefix_text = tokenizer.decode(
+            acc[prefix_offset:read_offset],
+            skip_special_tokens=skip_special_tokens)
+        text = tokenizer.decode(
+            acc[prefix_offset:], skip_special_tokens=skip_special_tokens)
         # hold back trailing bytes of incomplete unicode/wordpieces
         if text.endswith("�"):
             continue
-        if len(text) > len(printed):
-            delta = text[len(printed) :]
-            printed = text
+        if len(text) > len(prefix_text):
+            delta = text[len(prefix_text):]
+            prefix_offset = read_offset
+            read_offset = len(acc)
             yield delta
 
 

@@ -24,6 +24,8 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <mutex>
+#include <shared_mutex>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -34,6 +36,12 @@ struct BPE {
   std::unordered_map<std::string, int32_t> vocab;
   std::vector<std::string> id_to_tok;
   std::unordered_map<std::string, int32_t> merge_rank;
+  // The per-piece result cache is shared across concurrent encode() calls
+  // (ctypes releases the GIL and the server is a ThreadingHTTPServer), so
+  // all access goes through cache_mu: shared lock for lookups, exclusive
+  // for inserts. vocab/merge_rank are load-then-read-only — loading happens
+  // single-threaded in __init__ before the handle is published.
+  std::shared_mutex cache_mu;
   std::unordered_map<std::string, std::vector<int32_t>> cache;
 };
 
@@ -110,10 +118,13 @@ void pretokenize(const std::string& s, std::vector<std::string>& out) {
 }
 
 void bpe_word(BPE* t, const std::string& piece, std::vector<int32_t>& out) {
-  auto it = t->cache.find(piece);
-  if (it != t->cache.end()) {
-    out.insert(out.end(), it->second.begin(), it->second.end());
-    return;
+  {
+    std::shared_lock<std::shared_mutex> lk(t->cache_mu);
+    auto it = t->cache.find(piece);
+    if (it != t->cache.end()) {
+      out.insert(out.end(), it->second.begin(), it->second.end());
+      return;
+    }
   }
   std::vector<std::string> parts;
   parts.reserve(piece.size());
@@ -141,7 +152,10 @@ void bpe_word(BPE* t, const std::string& piece, std::vector<int32_t>& out) {
     // unknown byte sequences are dropped (caller guarantees byte coverage
     // by loading the full byte-level alphabet)
   }
-  if (t->cache.size() < (1u << 20)) t->cache.emplace(piece, ids);
+  {
+    std::unique_lock<std::shared_mutex> lk(t->cache_mu);
+    if (t->cache.size() < (1u << 20)) t->cache.emplace(piece, ids);
+  }
   out.insert(out.end(), ids.begin(), ids.end());
 }
 

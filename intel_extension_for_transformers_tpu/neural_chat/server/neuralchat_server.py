@@ -250,7 +250,8 @@ class ChatApp:
             ).to_body()
         if req.stream:
             return 200, self._chat_stream(
-                query, cfg, req.guided_choice, _normalize_stops(req.stop)
+                query, cfg, req.guided_choice, _normalize_stops(req.stop),
+                n=max(1, int(req.n or 1)),
             )
         n = max(1, int(req.n or 1))
         stops = _normalize_stops(req.stop)
@@ -283,53 +284,66 @@ class ChatApp:
         return 200, asdict_clean(resp)
 
     def _chat_stream(self, query: str, cfg: GenerationConfig,
-                     guided_choice=None, stops=None):
+                     guided_choice=None, stops=None, n: int = 1):
         """→ generator of SSE event strings (reference:
-        chat_completion_stream_generator textchat_api.py:219)."""
+        chat_completion_stream_generator textchat_api.py:219).
+
+        n>1 streams n choices with distinct `index` fields per OpenAI
+        semantics — interleaved live from n engine slots when the
+        continuous-batching engine is up, sequentially otherwise."""
         chunk_id = ChatCompletionChunk(model=self.model_name).id
 
-        def events():
-            first = ChatCompletionChunk(
+        def chunk_of(index, delta, finish=None):
+            c = ChatCompletionChunk(
                 id=chunk_id,
                 model=self.model_name,
-                choices=[
-                    ChatCompletionChunkChoice(
-                        index=0, delta=DeltaMessage(role="assistant")
-                    )
-                ],
+                choices=[ChatCompletionChunkChoice(
+                    index=index, delta=delta, finish_reason=finish)],
             )
-            yield f"data: {json.dumps(asdict_clean(first))}\n\n"
+            return f"data: {json.dumps(asdict_clean(c))}\n\n"
+
+        def one_choice_deltas():
             if self.engine is not None:
-                deltas = self._engine_text_stream(
-                    query, cfg, guided_choice, stops
-                )
-            else:
-                deltas = _apply_stop(
-                    _locked_iter(self._gen_lock,
-                                 self.chatbot.predict_stream(query, cfg)),
-                    stops,
-                )
-            for delta in deltas:
-                chunk = ChatCompletionChunk(
-                    id=chunk_id,
-                    model=self.model_name,
-                    choices=[
-                        ChatCompletionChunkChoice(
-                            index=0, delta=DeltaMessage(content=delta)
-                        )
-                    ],
-                )
-                yield f"data: {json.dumps(asdict_clean(chunk))}\n\n"
-            last = ChatCompletionChunk(
-                id=chunk_id,
-                model=self.model_name,
-                choices=[
-                    ChatCompletionChunkChoice(
-                        index=0, delta=DeltaMessage(), finish_reason="stop"
-                    )
-                ],
+                return self._engine_text_stream(query, cfg, guided_choice,
+                                                stops)
+            return _apply_stop(
+                _locked_iter(self._gen_lock,
+                             self.chatbot.predict_stream(query, cfg)),
+                stops,
             )
-            yield f"data: {json.dumps(asdict_clean(last))}\n\n"
+
+        def events():
+            for i in range(n):
+                yield chunk_of(i, DeltaMessage(role="assistant"))
+            if self.engine is not None and n > 1:
+                # n concurrent slots; pump each into one queue and interleave
+                import queue as _queue
+
+                q: "_queue.Queue" = _queue.Queue()
+
+                def pump(i):
+                    try:
+                        for d in one_choice_deltas():
+                            q.put((i, d))
+                    finally:
+                        q.put((i, None))
+
+                for i in range(n):
+                    threading.Thread(target=pump, args=(i,),
+                                     daemon=True).start()
+                live = n
+                while live:
+                    i, d = q.get()
+                    if d is None:
+                        live -= 1
+                        yield chunk_of(i, DeltaMessage(), finish="stop")
+                    else:
+                        yield chunk_of(i, DeltaMessage(content=d))
+            else:
+                for i in range(n):
+                    for delta in one_choice_deltas():
+                        yield chunk_of(i, DeltaMessage(content=delta))
+                    yield chunk_of(i, DeltaMessage(), finish="stop")
             yield "data: [DONE]\n\n"
 
         return events()
@@ -714,7 +728,8 @@ class NeuralChatServerExecutor:
                 FinetuneRouter,
             )
 
-            finetune = FinetuneRouter(self.chatbot)
+            finetune = FinetuneRouter(self.chatbot,
+                                      **(config.get("finetune_config") or {}))
         if {"voicechat", "text2image", "plugin_audio"} & set(api_list):
             from intel_extension_for_transformers_tpu.neural_chat.server.routers import (
                 MediaRouter,

@@ -21,6 +21,7 @@ dispatches — same contract as the OpenAI handlers, no framework dependency.
 from __future__ import annotations
 
 import logging
+import os
 import threading
 import uuid
 from typing import Callable, Dict, Optional
@@ -28,13 +29,33 @@ from typing import Callable, Dict, Optional
 logger = logging.getLogger(__name__)
 
 
+def _resolve_under(root: Optional[str], path: str, what: str) -> str:
+    """Confine a client-supplied filesystem path to an operator-configured
+    root. Raises PermissionError when no root is configured (per-request
+    paths are then disabled entirely) or when the resolved path escapes it
+    — the server binds real sockets, so request bodies are untrusted."""
+    if root is None:
+        raise PermissionError(
+            f"per-request {what} is disabled: the operator has not "
+            f"configured a data root for it (set it in the server config)"
+        )
+    root_real = os.path.realpath(root)
+    candidate = path if os.path.isabs(path) else os.path.join(root_real, path)
+    resolved = os.path.realpath(candidate)
+    if resolved != root_real and not resolved.startswith(root_real + os.sep):
+        raise PermissionError(f"{what} {path!r} escapes the configured root")
+    return resolved
+
+
 class AskDocRouter:
     """Knowledge-base lifecycle + retrieval-augmented chat over HTTP."""
 
-    def __init__(self, embedder_factory: Callable, chatbot=None, **agent_kw):
+    def __init__(self, embedder_factory: Callable, chatbot=None,
+                 data_root: Optional[str] = None, **agent_kw):
         self._embedder_factory = embedder_factory
         self._embedder = None
         self._chatbot = chatbot
+        self._data_root = data_root
         self._agent_kw = agent_kw
         self._kbs: Dict[str, object] = {}
         self._lock = threading.Lock()
@@ -73,9 +94,13 @@ class AskDocRouter:
             if docs:
                 agent.add_documents(docs)
             elif body.get("input_path"):
-                agent.append_localdb(body["input_path"])
+                agent.append_localdb(
+                    _resolve_under(self._data_root, body["input_path"],
+                                   "input_path"))
             else:
                 return 400, {"error": "need documents or input_path"}
+        except PermissionError as e:
+            return 403, {"error": str(e)}
         except Exception as e:  # noqa: BLE001 — surface as API error
             return 400, {"error": str(e)}
         with self._lock:
@@ -92,9 +117,13 @@ class AskDocRouter:
             if docs:
                 agent.add_documents(docs)
             elif body.get("input_path"):
-                agent.append_localdb(body["input_path"])
+                agent.append_localdb(
+                    _resolve_under(self._data_root, body["input_path"],
+                                   "input_path"))
             else:
                 return 400, {"error": "need documents or input_path"}
+        except PermissionError as e:
+            return 403, {"error": str(e)}
         except Exception as e:  # noqa: BLE001
             return 400, {"error": str(e)}
         return 200, {"knowledge_base_id": kb_id, "count": len(agent.docs)}
@@ -133,10 +162,20 @@ class AskDocRouter:
 
 
 class FinetuneRouter:
-    """LoRA finetuning jobs over HTTP on the server's resident model."""
+    """LoRA finetuning jobs over HTTP on the server's resident model.
 
-    def __init__(self, chatbot):
+    Client-supplied paths are confined to operator-configured roots:
+    `train_file` must live under `data_root`, `output_dir` under
+    `output_root` (finetune_config in the server YAML). With no root
+    configured, the corresponding per-request path is rejected (403);
+    jobs without an explicit output_dir write to a server-chosen
+    directory under output_root (or ./finetuned_api when unset)."""
+
+    def __init__(self, chatbot, data_root: Optional[str] = None,
+                 output_root: Optional[str] = None):
         self._chatbot = chatbot
+        self._data_root = data_root
+        self._output_root = output_root
         self._jobs: Dict[str, dict] = {}
         self._lock = threading.Lock()
 
@@ -153,6 +192,19 @@ class FinetuneRouter:
         train_file = body.get("train_file")
         if not texts and not train_file:
             return 400, {"error": "need train_texts or train_file"}
+        job_id = f"ft_{uuid.uuid4().hex[:12]}"
+        try:
+            if train_file:
+                train_file = _resolve_under(self._data_root, train_file,
+                                            "train_file")
+            if body.get("output_dir"):
+                output_dir = _resolve_under(self._output_root,
+                                            body["output_dir"], "output_dir")
+            else:
+                output_dir = os.path.join(
+                    self._output_root or "./finetuned_api", job_id)
+        except PermissionError as e:
+            return 403, {"error": str(e)}
 
         from intel_extension_for_transformers_tpu.neural_chat.config import (
             FinetuningConfig,
@@ -167,9 +219,8 @@ class FinetuneRouter:
             num_train_epochs=int(body.get("num_train_epochs", 1)),
             per_device_train_batch_size=int(body.get("batch_size", 2)),
             max_seq_length=int(body.get("max_seq_length", 128)),
-            output_dir=body.get("output_dir", "./finetuned_api"),
+            output_dir=output_dir,
         )
-        job_id = f"ft_{uuid.uuid4().hex[:12]}"
         job = {"status": "running", "config": cfg.output_dir, "job_id": job_id}
         with self._lock:
             self._jobs[job_id] = job

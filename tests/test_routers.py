@@ -28,7 +28,12 @@ from intel_extension_for_transformers_tpu.retrieval.embedder import TextEmbedder
 
 
 @pytest.fixture(scope="module")
-def server(tmp_path_factory):
+def ft_root(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("ft_root"))
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory, ft_root):
     reset_plugins()
     config = LlamaConfig.tiny(vocab_size=260)
     params = llama_init_params(jax.random.PRNGKey(0), config)
@@ -57,6 +62,7 @@ def server(tmp_path_factory):
                 "repetition_penalty": 1.0,
             },
             "askdoc_config": {"embedder": embedder, "top_k": 2},
+            "finetune_config": {"output_root": ft_root},
         }
     )
     assert ok
@@ -126,12 +132,12 @@ def test_askdoc_errors(server):
     assert status == 404
 
 
-def test_finetune_job_lifecycle(server):
+def test_finetune_job_lifecycle(server, ft_root):
     texts = ["hello tpu world " * 20] * 4
     status, out = _req(
         server, "POST", "/v1/finetune",
         {"train_texts": texts, "max_steps": 2, "max_seq_length": 64,
-         "batch_size": 2, "output_dir": "/tmp/ft_router_test"},
+         "batch_size": 2, "output_dir": "ft_router_test"},
     )
     assert status == 200
     job = out["job_id"]
@@ -143,7 +149,27 @@ def test_finetune_job_lifecycle(server):
             break
         time.sleep(1.0)
     assert out["status"] == "completed", out
-    assert out["adapter_dir"] == "/tmp/ft_router_test"
+    # client-named output dirs are confined to the operator's output_root
+    assert out["adapter_dir"] == f"{ft_root}/ft_router_test"
+
+
+def test_router_path_confinement(server):
+    """Untrusted request bodies cannot name arbitrary host paths
+    (ADVICE r2: arbitrary read via askdoc input_path / write via finetune
+    output_dir)."""
+    # askdoc: no data_root configured → per-request input_path disabled
+    status, out = _req(server, "POST", "/v1/askdoc/create",
+                       {"input_path": "/etc/passwd"})
+    assert status == 403
+    # finetune: escaping output_root rejected even though one is configured
+    status, out = _req(
+        server, "POST", "/v1/finetune",
+        {"train_texts": ["x"], "output_dir": "../../escape"})
+    assert status == 403
+    # finetune: train_file disabled without data_root
+    status, out = _req(
+        server, "POST", "/v1/finetune", {"train_file": "/etc/passwd"})
+    assert status == 403
 
     status, out = _req(server, "GET", "/v1/finetune/jobs")
     assert status == 200 and len(out["jobs"]) >= 1
