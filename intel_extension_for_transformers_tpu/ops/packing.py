@@ -52,6 +52,9 @@ class QuantizedTensor:
     group_size: int = 128  # static
     K: int = 0  # static
     N: int = 0  # static
+    # Storage layout: "khalf" (default, int8 (K//2, N) nibble half-split) or
+    # "w32" (decode-optimized int32 words, see to_decode_layout) — static.
+    layout: str = "khalf"
 
     @property
     def bits(self) -> int:
@@ -82,8 +85,116 @@ class QuantizedTensor:
 jax.tree_util.register_dataclass(
     QuantizedTensor,
     data_fields=["data", "scales", "zeros", "pre_scale"],
-    meta_fields=["weight_dtype", "scheme", "group_size", "K", "N"],
+    meta_fields=["weight_dtype", "scheme", "group_size", "K", "N", "layout"],
 )
+
+
+def decode_layout_pad(K: int, group_size: int) -> int:
+    """Padded K for the w32 decode layout.
+
+    The w32 kernel steps K in tiles that are a multiple of 512 rows (one
+    64-word bitcast block = 512 nibbles) AND contain a multiple of 8 scale
+    groups (Mosaic dynamic-slice row alignment), so K is padded to
+    lcm(512, 8*group_size). Padded rows carry zero nibbles and the caller
+    zero-pads x, so they contribute nothing."""
+    unit = max(512, 8 * group_size)
+    return (K + unit - 1) // unit * unit
+
+
+@partial(jax.jit, static_argnames=("K", "group_size", "scheme"))
+def _khalf_to_w32(data, K: int, group_size: int, scheme: str):
+    N = data.shape[1]
+    p = data.astype(jnp.int32)
+    lo = p & 0xF  # natural rows [0, K/2)
+    hi = (p >> 4) & 0xF  # natural rows [K/2, K)
+    nib = jnp.concatenate([lo, hi], axis=0)  # (K, N), raw nibble bits
+    if scheme == "sym":
+        # two's-complement nibble v -> biased v+8 in [0,15] is a top-bit flip
+        nib = nib ^ 8
+    Kp = decode_layout_pad(K, group_size)
+    if Kp != K:
+        nib = jnp.pad(nib, ((0, Kp - K), (0, 0)))
+    # word (kw) slot s within each 512-row block: s<4 -> row 128*s + 2*kw,
+    # s>=4 -> row 128*(s-4) + 2*kw + 1. This is exactly the order the kernel's
+    # 4 shift-views + pltpu.bitcast(i32->bf16) reproduce (low 16 bits land in
+    # sublane 2*kw, high in 2*kw+1).
+    nib = nib.reshape(Kp // 512, 4, 64, 2, N)  # [block, j, kw, half, n]
+    words = jnp.zeros((Kp // 512, 64, N), jnp.int32)
+    for j in range(4):
+        for half in range(2):
+            words = words | (nib[:, j, :, half, :] << (4 * (j + 4 * half)))
+    return words.reshape(Kp // 8, N)
+
+
+@partial(jax.jit, static_argnames=("K", "group_size", "scheme"))
+def _w32_to_khalf(words, K: int, group_size: int, scheme: str):
+    N = words.shape[1]
+    Kp = words.shape[0] * 8
+    w = words.reshape(Kp // 512, 64, N)
+    nib = jnp.zeros((Kp // 512, 4, 64, 2, N), jnp.int32)
+    for j in range(4):
+        for half in range(2):
+            nib = nib.at[:, j, :, half, :].set(
+                (w >> (4 * (j + 4 * half))) & 0xF)
+    nib = nib.reshape(Kp, N)[:K]
+    if scheme == "sym":
+        nib = nib ^ 8
+    lo = nib[: K // 2]
+    hi = nib[K // 2 :]
+    return ((hi << 4) | lo).astype(jnp.int8)
+
+
+def to_decode_layout(qt: "QuantizedTensor") -> "QuantizedTensor":
+    """Repack an int4 khalf tensor into the w32 decode-optimized layout.
+
+    w32 stores 8 nibbles per int32 word, pre-biased to [0,15], in the order
+    the Pallas decode kernel's bf16-bit-assembly emits them (see
+    quant_matmul._woq_kernel_w32); scales/zeros are row-padded to the padded
+    K. One-time repack at model-load/engine-init; quantizers keep producing
+    khalf for checkpoint compatibility."""
+    if qt.layout != "khalf":
+        return qt
+    if qt.bits != 4 or qt.is_codebook or qt.data.ndim != 2:
+        return qt  # int8/codebook/stacked(MoE) paths keep the khalf kernels
+    Kp = decode_layout_pad(qt.K, qt.group_size)
+    scales = qt.scales
+    zeros = qt.zeros
+    gpad = Kp // qt.group_size - scales.shape[0]
+    if gpad:
+        scales = jnp.pad(scales, ((0, gpad), (0, 0)))
+        if zeros is not None:
+            zeros = jnp.pad(zeros, ((0, gpad), (0, 0)))
+    return replace(
+        qt,
+        data=_khalf_to_w32(qt.data, qt.K, qt.group_size, qt.scheme),
+        scales=scales,
+        zeros=zeros,
+        layout="w32",
+    )
+
+
+def from_decode_layout(qt: "QuantizedTensor") -> "QuantizedTensor":
+    """Inverse of to_decode_layout (drops K/scale padding)."""
+    if qt.layout != "w32":
+        return qt
+    G = qt.K // qt.group_size
+    return replace(
+        qt,
+        data=_w32_to_khalf(qt.data, qt.K, qt.group_size, qt.scheme),
+        scales=qt.scales[:G],
+        zeros=None if qt.zeros is None else qt.zeros[:G],
+        layout="khalf",
+    )
+
+
+def prepare_for_inference(tree):
+    """tree_map QuantizedTensor leaves into the w32 decode layout (int4
+    non-codebook only). Call once on a loaded param tree before serving."""
+    return jax.tree_util.tree_map(
+        lambda x: to_decode_layout(x) if isinstance(x, QuantizedTensor) else x,
+        tree,
+        is_leaf=lambda x: isinstance(x, QuantizedTensor),
+    )
 
 
 def _check_shapes(K: int, N: int, group_size: int, bits: int) -> None:
@@ -199,6 +310,8 @@ def quantize_groupwise(
 def dequantize(qt: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
     """Reconstruct the (K, N) float weight (reference parity:
     llm/quantization/utils.py:82 unpack_weight → dequant)."""
+    if qt.layout == "w32":
+        qt = from_decode_layout(qt)
     g = qt.group_size
     if qt.is_codebook:
         cb = jnp.asarray(get_codebook(qt.weight_dtype))

@@ -233,6 +233,243 @@ def _woq_kernel_8bit(
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _woq_kernel_w32(
+    x_ref,
+    w_ref,
+    s_ref,
+    z_ref,
+    o_ref,
+    acc_ref,
+    *,
+    group_size: int,
+    num_k_steps: int,
+    scheme: str,
+    compute_dtype,
+    m1_path: bool,
+    interpret: bool,
+):
+    """Decode-optimized int4 kernel over the w32 layout (VERDICT r2 #1).
+
+    Nibble decode assembles bf16 BIT PATTERNS directly: a biased nibble
+    v' in [0,15] OR'd into 0x4300 is the bf16 value 128+v' exactly, so one
+    shift+mask+or per PAIR of nibbles (plus pltpu.bitcast, which is free)
+    replaces the shift/sign-extend/convert/scale chain (~3 int ops per packed
+    byte instead of ~9 — the VPU was the M=1 bottleneck at 44-55% of the HBM
+    floor). The +128+bias offset is removed EXACTLY:
+
+    - m1_path (decode shapes): per-128-row-plane dots give per-group partial
+      sums in f32; scales apply to the partials, and the offset contributes
+      scale*(128+bias)*sum(x_group), subtracted via one tiny (tm, G)x(G, tn)
+      dot. All cancellation happens in f32 — bit-for-bit this matches
+      computing with exact (v+offset) products.
+    - large-M (prefill): offset and scale fold into the weight plane before
+      the MXU dot (numerically identical to the khalf kernel).
+
+    Layout contract (packing._khalf_to_w32): word kw of each 64-word block
+    holds nibble slot s at bits [4s, 4s+4); view j = (word >> 4j) & 0x000F000F
+    OR 0x43004300, bitcast i32->bf16, lands slot j in sublane 2*kw and slot
+    j+4 in 2*kw+1 = natural rows 128j + {2kw, 2kw+1} of the block.
+    """
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    words = w_ref[:]  # (tk//8, tn) int32
+    tk = w_ref.shape[0] * 8
+    tn = w_ref.shape[1]
+    tm = x_ref.shape[0]
+    g = group_size
+    n_groups = tk // g
+    asym = scheme == "asym"
+
+    if num_k_steps == 1:
+        srows = s_ref[0:n_groups, :]
+        zrows = z_ref[0:n_groups, :] if asym else None
+    else:
+        base = k * n_groups  # n_groups is a multiple of 8 by construction
+        srows = s_ref[pl.ds(base, n_groups), :]
+        zrows = z_ref[pl.ds(base, n_groups), :] if asym else None
+    srows_f = srows.astype(jnp.float32)
+    zeff = (zrows.astype(jnp.float32) + 128.0) if asym else None
+
+    x = x_ref[:]
+    acc = acc_ref[:]
+    hi_prec = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    if m1_path:
+        # offset-correction term: sum_g (128+bias)[g,n]*s[g,n]*sum(x_g).
+        # Per-group x sums via an MXU dot against a block-indicator matrix —
+        # Mosaic cannot reshape the lane dim (tk) into (n_groups, g).
+        kig = jax.lax.broadcasted_iota(jnp.int32, (tk, n_groups), 0) // g
+        gid = jax.lax.broadcasted_iota(jnp.int32, (tk, n_groups), 1)
+        gmask = (kig == gid).astype(jnp.float32)
+        xs = jax.lax.dot(
+            x.astype(jnp.float32), gmask,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (tm, n_groups)
+        corr_w = srows_f * (zeff if asym else 136.0)
+        acc = acc - jax.lax.dot(
+            xs, corr_w,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    gpp = 128 // g if g < 128 else 1  # groups per 128-row plane
+    for b in range(tk // 512):
+        wb = words[b * 64 : (b + 1) * 64]  # (64, tn)
+        for j in range(4):
+            t = (wb >> (4 * j)) if j else wb
+            wv = jnp.int32(0x43004300) | (t & jnp.int32(0x000F000F))
+            if interpret:
+                pair = jax.lax.bitcast_convert_type(wv, jnp.bfloat16)
+                plane = pair.transpose(0, 2, 1).reshape(128, tn)
+            else:
+                plane = pltpu.bitcast(wv, jnp.bfloat16)  # (128, tn)
+            row0 = b * 512 + j * 128
+            if m1_path:
+                for gi in range(gpp):
+                    span = 128 // gpp
+                    g_idx = row0 // g + gi
+                    xg = x[:, row0 + gi * span : row0 + (gi + 1) * span]
+                    pg = plane[gi * span : (gi + 1) * span]
+                    part = jax.lax.dot(
+                        xg.astype(compute_dtype),
+                        pg.astype(compute_dtype),
+                        precision=hi_prec,
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = acc + part * srows_f[g_idx : g_idx + 1, :]
+            else:
+                pf = plane.astype(jnp.float32)
+                g_lo = row0 // g
+                if gpp == 1:
+                    sc = srows_f[g_lo : g_lo + 1, :]
+                    zc = zeff[g_lo : g_lo + 1, :] if asym else 136.0
+                    wd = ((pf - zc) * sc).astype(compute_dtype)
+                else:
+                    p3 = pf.reshape(gpp, g, tn)
+                    sc = srows_f[g_lo : g_lo + gpp, :][:, None, :]
+                    zc = (
+                        zeff[g_lo : g_lo + gpp, :][:, None, :]
+                        if asym
+                        else 136.0
+                    )
+                    wd = ((p3 - zc) * sc).reshape(128, tn).astype(compute_dtype)
+                acc = acc + jax.lax.dot(
+                    x[:, row0 : row0 + 128].astype(compute_dtype),
+                    wd,
+                    precision=hi_prec,
+                    preferred_element_type=jnp.float32,
+                )
+    acc_ref[:] = acc
+
+    @pl.when(k == num_k_steps - 1)
+    def _flush():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _w32_tiles(M: int, Kp: int, g: int):
+    """Tile sizes for the w32 kernel: tk = largest multiple of
+    lcm(512, 8g) dividing Kp, capped at 2048."""
+    tm = min(_round_up(max(M, 1), 8), 256)
+    unit = max(512, 8 * g)
+    d = Kp // unit
+    tk = unit
+    for m in range(d, 0, -1):
+        if d % m == 0 and unit * m <= 2048:
+            tk = unit * m
+            break
+    return tm, 256, tk
+
+
+def _pallas_woq_w32(x2, batch_shape, qt: QuantizedTensor, out_dtype, interpret):
+    M, K = x2.shape
+    g = qt.group_size
+    N = qt.N
+    Kp = qt.data.shape[0] * 8
+    compute_dtype = jnp.float32 if x2.dtype == jnp.float32 else jnp.bfloat16
+    tm, tn, tk = _w32_tiles(M, Kp, g)
+    # m1: scale-after-dot per group (exact offset cancellation in f32) — the
+    # MXU flop multiplier is 128/g for g<128, so gate on small M
+    m1_path = (g >= 128) or tm <= 32
+
+    data = qt.data
+    scales = qt.scales.astype(jnp.float32)
+    zeros = (
+        jnp.zeros((1, N), jnp.float32)
+        if qt.zeros is None
+        else qt.zeros.astype(jnp.float32)
+    )
+    Np = _round_up(N, tn)
+    if Np != N:
+        data = jnp.pad(data, ((0, 0), (0, Np - N)))
+        scales = jnp.pad(scales, ((0, 0), (0, Np - N)))
+        zeros = jnp.pad(zeros, ((0, 0), (0, Np - N)))
+    Mp = _round_up(M, tm)
+    if Mp != M or Kp != K:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, Kp - K)))
+    grid = (Mp // tm, Np // tn, Kp // tk)
+
+    kernel = functools.partial(
+        _woq_kernel_w32,
+        group_size=g,
+        num_k_steps=grid[2],
+        scheme=qt.scheme,
+        compute_dtype=compute_dtype,
+        m1_path=m1_path,
+        interpret=interpret,
+    )
+    G_total = scales.shape[0]
+    Gz = zeros.shape[0]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tm, tk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tk // 8, tn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (G_total, tn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (Gz, tn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tm, tn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * K,
+            bytes_accessed=Mp * Kp * x2.dtype.itemsize
+            + Kp * Np // 2
+            + scales.size * 4
+            + Mp * N * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+    )(x2, data, scales, zeros)
+    if out.shape[0] != M:
+        out = out[:M]
+    if out.shape[1] != N:
+        out = out[:, :N]
+    return out.reshape(*batch_shape, N)
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -275,6 +512,7 @@ class _WoqMeta(NamedTuple):
     N: int
     out_dtype: str
     interpret: Optional[bool]
+    layout: str = "khalf"
 
     def rebuild(self, data, scales, zeros) -> QuantizedTensor:
         return QuantizedTensor(
@@ -286,6 +524,7 @@ class _WoqMeta(NamedTuple):
             group_size=self.group_size,
             K=self.K,
             N=self.N,
+            layout=self.layout,
         )
 
 
@@ -300,6 +539,9 @@ def _pallas_woq(x, qt: QuantizedTensor, out_dtype, interpret):
         raise ValueError(f"x last dim {K} != quantized weight K {qt.K}")
     M = int(np.prod(batch_shape, dtype=np.int64)) if batch_shape else 1
     x2 = x.reshape(M, K)
+
+    if qt.layout == "w32":
+        return _pallas_woq_w32(x2, batch_shape, qt, out_dtype, interpret)
 
     g = qt.group_size
     N = qt.N
@@ -502,6 +744,7 @@ def woq_matmul(
         N=qt.N,
         out_dtype=jnp.dtype(out_dtype or x.dtype).name,
         interpret=interpret,
+        layout=qt.layout,
     )
     return _woq_core(meta, x, qt.data, qt.scales, qt.zeros)
 

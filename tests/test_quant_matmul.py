@@ -127,3 +127,62 @@ def test_woq_matmul_bf16_activations():
     ref = np.asarray(woq_matmul_ref(x, qt, out_dtype=jnp.float32))
     rel = np.abs(np.asarray(out, np.float32) - ref).mean() / np.abs(ref).mean()
     assert rel < 0.03
+
+
+# ----------------------- w32 decode layout (round 3) -----------------------
+
+
+@pytest.mark.parametrize("scheme", ["sym", "asym"])
+@pytest.mark.parametrize("g", [32, 64, 128])
+def test_w32_layout_roundtrip_and_dequant(scheme, g):
+    from intel_extension_for_transformers_tpu.ops.packing import (
+        dequantize,
+        from_decode_layout,
+        quantize_groupwise,
+        to_decode_layout,
+    )
+
+    _, w = _mk(1, 1024, 256, seed=11)
+    qt = quantize_groupwise(w, weight_dtype="int4", scheme=scheme, group_size=g)
+    qt32 = to_decode_layout(qt)
+    assert qt32.layout == "w32" and qt32.data.dtype == jnp.int32
+    back = from_decode_layout(qt32)
+    np.testing.assert_array_equal(np.asarray(back.data), np.asarray(qt.data))
+    np.testing.assert_array_equal(
+        np.asarray(dequantize(qt32)), np.asarray(dequantize(qt))
+    )
+
+
+@pytest.mark.parametrize("M", [1, 5, 200])  # m1 path and the large-M path
+@pytest.mark.parametrize("scheme", ["sym", "asym"])
+def test_w32_matmul_matches_ref(M, scheme):
+    """The bf16-bit-pattern decode kernel (offset-corrected in f32) matches
+    the dequant-einsum oracle on both the scale-after-dot (small M) and
+    scale-on-weight (large M) paths."""
+    from intel_extension_for_transformers_tpu.ops.packing import (
+        quantize_groupwise,
+        to_decode_layout,
+    )
+
+    x, w = _mk(M, 1152, 300, seed=12)  # K pads 1152->1536, ragged N pads
+    qt = quantize_groupwise(w, weight_dtype="int4", scheme=scheme, group_size=32)
+    qt32 = to_decode_layout(qt)
+    ref = woq_matmul_ref(x, qt)
+    out = woq_matmul(x, qt32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_w32_grad_flows_to_x():
+    from intel_extension_for_transformers_tpu.ops.packing import (
+        quantize_groupwise,
+        to_decode_layout,
+    )
+
+    x, w = _mk(4, 512, 128, seed=13)
+    qt32 = to_decode_layout(quantize_groupwise(w, group_size=128))
+
+    def f(x):
+        return woq_matmul(x, qt32).sum()
+
+    gx = jax.grad(f)(x)
+    assert gx.shape == x.shape and bool(jnp.all(jnp.isfinite(gx)))
