@@ -12,22 +12,38 @@ model:
   free. Per-slot cache lengths (a mapped `KVCache.length`) give every slot
   its own position stream — the static-shape analogue of vLLM's paged
   attention bookkeeping.
-- Requests JOIN by prefilling into a single-slot cache (prompt padded to a
-  length bucket — the Gaudi-port bucketing idea, modeling_gaudi
-  generation/utils.py:88-110 — so the prefill program set stays small) and
-  scattering it into the batched cache at a free slot. Right-padding is
-  correct without masks: pad keys sit at positions > the true last token,
-  and the causal position mask already excludes them.
+- Requests JOIN via **chunked prefill**: the prompt is split into fixed-size
+  chunks (one compiled (1, C) program regardless of prompt length) and ONE
+  chunk runs per engine loop iteration, interleaved with pool decode steps —
+  a long admission never stalls active streams for more than one chunk
+  (the reference's answer is vLLM's chunked prefill; here it is native).
+  Right-padding in the final chunk is correct without masks: pad keys sit at
+  positions > the true last token and are overwritten before any query
+  reaches them.
 - Slots LEAVE on EOS / max_new_tokens; the freed slot is re-assigned to the
   next queued request. Inactive slots still step (masked, static shapes) —
   the XLA-friendly trade: no recompiles, ~zero marginal cost at small B.
 - Per-slot sampling: temperature / top-k / top-p / repetition-penalty are
   ARRAYS, so one compiled step serves heterogeneous requests.
+- **KV eviction policies** (`kv_policy="sink"|"h2o"`) serve UNBOUNDED chats
+  from a bounded cache: when a slot's cache approaches max_len it is
+  COMPACTED in place instead of terminating — attention sinks keep the first
+  `kv_sink` + last `kv_recent` tokens (reference:
+  modeling_gaudi/streaming_llm.py:37 enable_streaming_llm + neural-speed
+  shift-RoPE ring, docs/streamingllm.md:19-25); H2O keeps the heaviest
+  `kv_heavy` tokens by accumulated attention mass + the recent window
+  (reference: kv_cache_compression/prune/h2o.py:138 H2OKVCache.__call__).
+  Kept keys are re-rotated to their new cache positions (RoPE angles are
+  linear in position, so a single delta rotation per moved key is exact) —
+  the StreamingLLM "positions within the cache" treatment. Composes with
+  int8 KV (dequant→rotate→requant at compaction) and with speculative
+  decoding (the draft cache compacts with the same kept set).
+- Guided-choice decoding state lives ON DEVICE: per-slot token matrices +
+  active/pos arrays; the allow mask is derived and advanced inside the
+  jitted step — no per-token host→device (V,) uploads (round-2 weakness #7).
 
 The host loop runs in one background thread; callers get a thread-safe
-iterator of tokens. Aggregate throughput ≈ the batch-B decode number (the
-1.62 ms/token batch-8 measurement in BENCHMARKS.md) instead of B × the
-single-stream latency the round-1 lock gave.
+iterator of tokens.
 """
 
 from __future__ import annotations
@@ -45,6 +61,20 @@ import jax.numpy as jnp
 
 from intel_extension_for_transformers_tpu.models.registry import get_apply_fn
 from intel_extension_for_transformers_tpu.models.llama import init_kv_cache
+from intel_extension_for_transformers_tpu.ops.layers import (
+    rope_inv_freq,
+    set_mass_tap,
+)
+from intel_extension_for_transformers_tpu.parallel.pp_serve import (
+    pp_apply,
+    pp_init_cache,
+    pp_prefill_chunk,
+)
+
+
+def _eager(fn):
+    """The un-jitted apply (tapped tracing must not hit a stale jit cache)."""
+    return getattr(fn, "__wrapped__", fn)
 
 
 # --------------------------- batched sampling ---------------------------
@@ -92,37 +122,108 @@ def sample_logits_per_slot(
     return jnp.where(do_sample, sampled, greedy).astype(jnp.int32)
 
 
+# --------------------------- guided-choice state ---------------------------
+
+
+@dataclass
+class GuideState:
+    """Device-resident constrained-decoding state (one row per slot).
+
+    seqs holds every allowed token sequence padded with -1; `active` marks
+    sequences still consistent with the emitted prefix; `pos` is the shared
+    depth; `on` gates the whole mechanism per slot. The allow mask is a pure
+    function of this state, computed INSIDE the jitted step — replacing
+    round 2's per-token host rebuild of a (V,) numpy row."""
+
+    seqs: jax.Array  # (B, S, L) int32, -1 = pad
+    active: jax.Array  # (B, S) bool
+    pos: jax.Array  # (B,) int32
+    on: jax.Array  # (B,) bool
+
+
+jax.tree_util.register_dataclass(
+    GuideState, data_fields=["seqs", "active", "pos", "on"], meta_fields=[]
+)
+
+
+def _guide_current(g: GuideState):
+    """Expected-next-token per (slot, seq) and its validity mask."""
+    B, S, L = g.seqs.shape
+    p = jnp.clip(g.pos, 0, L - 1)
+    cur = jnp.take_along_axis(g.seqs, p[:, None, None], axis=2)[..., 0]  # (B,S)
+    valid = g.active & (cur >= 0) & (g.pos < L)[:, None]
+    return cur, valid
+
+
+def _guide_allow(g: GuideState, V: int):
+    """(B, V) allow mask + (B,) constrained flag. Degenerate guides (no seq
+    matches) unconstrain rather than stall, like the round-2 host path."""
+    cur, valid = _guide_current(g)
+    B = cur.shape[0]
+    allow = jnp.zeros((B, V), jnp.bool_).at[
+        jnp.arange(B)[:, None], jnp.clip(cur, 0)
+    ].max(valid)
+    constrained = g.on & jnp.any(valid, axis=1)
+    return jnp.where(constrained[:, None], allow, True), constrained
+
+
+def _guide_advance(g: GuideState, nxt: jax.Array, constrained: jax.Array):
+    cur, valid = _guide_current(g)
+    hit = valid & (cur == nxt[:, None])
+    active = jnp.where(constrained[:, None], hit, g.active)
+    pos = g.pos + constrained.astype(jnp.int32)
+    return replace(g, active=active, pos=pos)
+
+
 # ----------------------------- jitted steps -----------------------------
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "with_mass"))
 def _engine_step(
     params, config, cache, tokens, rng,
-    temperature, top_k, top_p, do_sample, rep_penalty, seen, allow,
+    temperature, top_k, top_p, do_sample, rep_penalty, seen, guide, accum,
+    with_mass: bool = False,
 ):
-    """One decode step for all slots: vmapped apply + per-slot sampling."""
-    apply_fn = get_apply_fn(config)
+    """One decode step for all slots: vmapped apply + per-slot sampling.
+    with_mass additionally accumulates per-key attention mass (H2O)."""
+    apply_fn = _eager(get_apply_fn(config))
 
-    def one(cache_slot, tok):
-        logits, new_cache = apply_fn(params, config, tok[None, None], cache_slot)
-        return logits[0, -1], new_cache
+    if with_mass:
+        def one(cache_slot, tok):
+            set_mass_tap(tap := [])
+            try:
+                logits, new_cache = apply_fn(params, config, tok[None, None], cache_slot)
+            finally:
+                set_mass_tap(None)
+            mass = sum(m[0] for m in tap)  # Σ layers of (1, S) → (S,)
+            return logits[0, -1], new_cache, mass
 
-    logits, cache = jax.vmap(one)(cache, tokens)  # (B, V)
+        logits, cache, mass = jax.vmap(one)(cache, tokens)  # mass (B, S)
+        accum = accum + mass
+    else:
+        def one(cache_slot, tok):
+            logits, new_cache = apply_fn(params, config, tok[None, None], cache_slot)
+            return logits[0, -1], new_cache
+
+        logits, cache = jax.vmap(one)(cache, tokens)  # (B, V)
+
+    allow, constrained = _guide_allow(guide, logits.shape[-1])
     rng, sub = jax.random.split(rng)
     nxt = sample_logits_per_slot(
         logits, sub, temperature, top_k, top_p, do_sample, rep_penalty, seen,
         allow,
     )
+    guide = _guide_advance(guide, nxt, constrained)
     seen = seen | jax.nn.one_hot(nxt, seen.shape[-1], dtype=jnp.bool_)
-    return nxt, cache, rng, seen
+    return nxt, cache, rng, seen, guide, accum
 
 
-@partial(jax.jit, static_argnames=("config", "draft_config", "gamma"))
+@partial(jax.jit, static_argnames=("config", "draft_config", "gamma", "with_mass"))
 def _spec_engine_step(
     params, config, draft_params, draft_config, cache, draft_cache,
     tokens, rng,
-    temperature, top_k, top_p, do_sample, rep_penalty, seen, allow,
-    gamma: int,
+    temperature, top_k, top_p, do_sample, rep_penalty, seen, guide, accum,
+    gamma: int, with_mass: bool = False,
 ):
     """One SPECULATIVE decode step for all slots (draft-and-verify).
 
@@ -132,16 +233,18 @@ def _spec_engine_step(
     slot (greedy, one lax.scan), the target verifies all of them in ONE
     batched (gamma+1)-token forward, and each slot advances by its own
     accepted length n+1 ∈ [1, gamma+1]. Greedy slots are bit-exact vs plain
-    decoding (accept while draft == target argmax); sampled or
+    decoding (accept while draft == target argmax); sampled, guided, or
     repetition-penalized slots force n=0 and take the target's l0 sample —
     also bit-exact vs `_engine_step`.
 
     Returns (out_tokens (B, gamma+1), out_count (B,), next tokens, caches,
-    rng, seen). Dirty KV entries past each slot's accepted length are
-    overwritten by later writes and masked meanwhile (position mask).
+    rng, seen, guide, accum). Dirty KV entries past each slot's accepted
+    length are overwritten by later writes and masked meanwhile (position
+    mask); H2O mass from rolled-back verify queries is masked out by the
+    accepted length.
     """
-    apply_fn = get_apply_fn(config)
-    draft_apply = get_apply_fn(draft_config)
+    apply_fn = _eager(get_apply_fn(config))
+    draft_apply = _eager(get_apply_fn(draft_config))
     B = tokens.shape[0]
 
     # 1. draft: gamma+1 greedy steps — proposes d1..dgamma and PROCESSES
@@ -166,22 +269,40 @@ def _spec_engine_step(
     # 2. target verifies [t0, d1..dgamma] in one (gamma+1)-token forward
     seq = jnp.concatenate([tokens[:, None], drafts], axis=1)  # (B, gamma+1)
 
-    def onev(cs, s):
-        logits, nc = apply_fn(params, config, s[None], cs)
-        return logits[0].astype(jnp.float32), nc
+    if with_mass:
+        def onev(cs, s):
+            set_mass_tap(tap := [])
+            try:
+                logits, nc = apply_fn(params, config, s[None], cs)
+            finally:
+                set_mass_tap(None)
+            mass_q = sum(tap)  # (gamma+1, S)
+            return logits[0].astype(jnp.float32), nc, mass_q
 
-    logits, cache = jax.vmap(onev)(cache, seq)  # (B, gamma+1, V)
+        logits, cache, mass_q = jax.vmap(onev)(cache, seq)  # mass (B, g+1, S)
+    else:
+        def onev(cs, s):
+            logits, nc = apply_fn(params, config, s[None], cs)
+            return logits[0].astype(jnp.float32), nc
+
+        logits, cache = jax.vmap(onev)(cache, seq)  # (B, gamma+1, V)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # g0..ggamma
 
     # n = longest accepted prefix (d_{i+1} == g_i); sampling/penalty → n=0
     ok = (drafts == greedy[:, :gamma]).astype(jnp.int32)
     n = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)  # (B,)
-    guided = ~jnp.all(allow, axis=-1)  # constrained slots step one-by-one
-    spec_ok = (~do_sample) & (rep_penalty == 1.0) & (~guided)
+    spec_ok = (~do_sample) & (rep_penalty == 1.0) & (~guide.on)
     n = jnp.where(spec_ok, n, 0)
+
+    if with_mass:  # only accepted verify queries contribute H2O statistics
+        qpos = jnp.arange(gamma + 1)[None, :, None]
+        accum = accum + jnp.sum(
+            jnp.where(qpos <= n[:, None, None], mass_q, 0.0), axis=1
+        )
 
     # correction/extension token: g_n for greedy slots, per-slot sample of
     # l0 for the forced-n=0 slots
+    allow, constrained = _guide_allow(guide, logits.shape[-1])
     rng, sub = jax.random.split(rng)
     sampled0 = sample_logits_per_slot(
         logits[:, 0], sub, temperature, top_k, top_p, do_sample, rep_penalty,
@@ -189,6 +310,7 @@ def _spec_engine_step(
     )
     gn = jnp.take_along_axis(greedy, n[:, None], axis=1)[:, 0]
     nxt = jnp.where(spec_ok, gn, sampled0)
+    guide = _guide_advance(guide, nxt, constrained)
 
     # emitted tokens this step: d1..dn then nxt (count n+1)
     pos = jnp.arange(gamma + 1)[None, :]
@@ -202,29 +324,83 @@ def _spec_engine_step(
 
     emitted_hot = jax.nn.one_hot(out_tokens, seen.shape[-1], dtype=jnp.bool_)
     seen = seen | jnp.any(emitted_hot & (pos <= n[:, None])[..., None], axis=1)
-    return out_tokens, out_count, nxt, cache, draft_cache, rng, seen
+    return (out_tokens, out_count, nxt, cache, draft_cache, rng, seen, guide,
+            accum)
+
+
+@partial(jax.jit, static_argnames=("state", "config"))
+def _pp_engine_step(
+    state, config, cache, tokens, active, rng,
+    temperature, top_k, top_p, do_sample, rep_penalty, seen, guide,
+):
+    """One decode step for the whole pool through the pp×tp pipeline
+    (parallel/pp_serve.py): same sampling tail as _engine_step; inactive
+    slots neither write KV nor advance length (write_mask=active)."""
+    B = tokens.shape[0]
+    logits, cache = pp_apply(
+        state, config, tokens[:, None], cache,
+        n_valid=jnp.ones((B,), jnp.int32), write_mask=active,
+    )
+    logits = logits[:, -1].astype(jnp.float32)
+    allow, constrained = _guide_allow(guide, logits.shape[-1])
+    rng, sub = jax.random.split(rng)
+    nxt = sample_logits_per_slot(
+        logits, sub, temperature, top_k, top_p, do_sample, rep_penalty, seen,
+        allow,
+    )
+    guide = _guide_advance(guide, nxt, constrained)
+    seen = seen | jax.nn.one_hot(nxt, seen.shape[-1], dtype=jnp.bool_)
+    return nxt, cache, rng, seen, guide
+
+
+@jax.jit
+def _pp_reset_slot(cache, slot):
+    """A joining slot restarts its in-place prefill from position 0."""
+    return replace(cache, length=cache.length.at[slot].set(0))
+
+
+# --------------------------- chunked prefill ---------------------------
 
 
 @partial(jax.jit, static_argnames=("config", "max_len", "kv_dtype"))
-def _engine_prefill(params, config, ids, true_len, max_len: int,
-                    kv_dtype="bfloat16"):
-    """Prefill ONE request into a fresh single-slot cache.
+def _fresh_slot_cache(config, max_len: int, kv_dtype):
+    """Device-side allocation of an empty single-slot cache (no host zeros
+    shipped through the relay)."""
+    return init_kv_cache(config, 1, max_len, dtype=kv_dtype)
 
-    ids: (1, T_bucket) right-padded. Right-pad needs no attention mask: real
-    token at position q attends keys ≤ q, and pads sit at positions > q.
-    → (last_real_logits (V,), slot cache with length = true_len, seen (V,)).
+
+@partial(jax.jit, static_argnames=("config", "with_mass"))
+def _prefill_chunk(params, config, cache, ids, n_valid, seen, mass=None,
+                   with_mass: bool = False):
+    """Prefill ONE (1, C) chunk into a slot cache at [length, length+C).
+
+    n_valid ≤ C real tokens; the cache length advances by n_valid only, so
+    pad rows written past it are overwritten by the next chunk (or by decode)
+    before any query can attend them. Returns (last-real-token logits (V,),
+    cache, seen∪chunk tokens, accumulated mass) — `last` is only meaningful
+    on the chunk containing the prompt's final token.
     """
-    apply_fn = get_apply_fn(config)
-    cache = init_kv_cache(config, 1, max_len, dtype=kv_dtype)
-    logits, cache = apply_fn(params, config, ids, cache)
-    last = logits[0, true_len - 1].astype(jnp.float32)
-    cache = replace(cache, length=true_len.astype(cache.length.dtype))
-    pos = jnp.arange(ids.shape[1])
-    seen = (
-        jax.nn.one_hot(ids[0], logits.shape[-1], dtype=jnp.bool_)
-        & (pos < true_len)[:, None]
+    apply_fn = _eager(get_apply_fn(config))
+    C = ids.shape[1]
+    start = cache.length
+    if with_mass:
+        set_mass_tap(tap := [])
+        try:
+            logits, cache = apply_fn(params, config, ids, cache)
+        finally:
+            set_mass_tap(None)
+        mass_q = sum(tap)  # (C, S) per-query key mass
+        qvalid = (jnp.arange(C) < n_valid)[:, None]
+        mass = mass + jnp.sum(jnp.where(qvalid, mass_q, 0.0), axis=0)
+    else:
+        logits, cache = apply_fn(params, config, ids, cache)
+    last = logits[0, jnp.clip(n_valid - 1, 0, C - 1)].astype(jnp.float32)
+    cache = replace(cache, length=(start + n_valid).astype(cache.length.dtype))
+    posm = (jnp.arange(C) < n_valid)[:, None]
+    seen = seen | (
+        jax.nn.one_hot(ids[0], logits.shape[-1], dtype=jnp.bool_) & posm
     ).any(axis=0)
-    return last, cache, seen
+    return last, cache, seen, mass
 
 
 @jax.jit
@@ -267,6 +443,96 @@ def _first_token(last_logits, rng, cfg_arrays, seen_row, allow_row):
         allow_row[None],
     )[0]
     return tok, seen_row | jax.nn.one_hot(tok, seen_row.shape[0], dtype=jnp.bool_)
+
+
+# --------------------------- KV compaction ---------------------------
+
+
+def _rope_spec(config):
+    """(kind, rotary_dim, theta, scaling) for re-rotating evicted-cache keys;
+    None for non-RoPE families (ALiBi/learned positions renumber for free —
+    their biases/masks derive from cache indices each step)."""
+    if hasattr(config, "pos_embedding"):  # DecoderConfig
+        if config.pos_embedding != "rope":
+            return None
+        kind = "interleaved" if config.rotary_interleaved else "half"
+        return (kind, config.rotary_dim, config.rope_theta, None)
+    return ("half", config.head_dim, config.rope_theta, config.rope_scaling)
+
+
+@partial(jax.jit, static_argnames=("rope_spec",))
+def _compact_cache_slot(cache, slot, keep_idx, rope_spec):
+    """Compact ONE slot of the batched cache to its kept rows.
+
+    keep_idx (K,) int32 ascending original indices → new indices 0..K-1.
+    Moved keys are re-rotated by their position delta (RoPE angles are linear
+    in position, so rotation by (new-old) composes exactly); values and
+    rows past K are left in place — decode overwrites them under the causal
+    position mask before they are ever attended. int8 caches dequantize,
+    rotate, and requantize the kept keys (a rotation can grow a component by
+    up to √2, so scales must be recomputed)."""
+    K = keep_idx.shape[0]
+    deltas = jnp.arange(K, dtype=jnp.int32) - keep_idx  # (K,) new - old ≤ 0
+
+    def rot(kk):  # (K, Hkv, D) float → rotated by per-row delta
+        if rope_spec is None:
+            return kk
+        kind, rd, theta, scaling = rope_spec
+        inv = rope_inv_freq(rd, theta, scaling)  # (rd/2,)
+        ang = deltas.astype(jnp.float32)[:, None] * inv  # (K, rd/2)
+        cos = jnp.cos(ang)[:, None, :].astype(kk.dtype)
+        sin = jnp.sin(ang)[:, None, :].astype(kk.dtype)
+        r = kk[..., :rd]
+        if kind == "interleaved":  # GPT-J pairs (0,1),(2,3)…
+            x1, x2 = r[..., ::2], r[..., 1::2]
+            rr = jnp.stack(
+                [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+            ).reshape(r.shape)
+        else:  # half-split (llama/neox/falcon)
+            x1, x2 = jnp.split(r, 2, axis=-1)
+            rr = jnp.concatenate(
+                [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+            )
+        if rd < kk.shape[-1]:
+            return jnp.concatenate([rr, kk[..., rd:]], axis=-1)
+        return rr
+
+    quant = cache.quantized
+    fields = {
+        n: (list(getattr(cache, n)) if getattr(cache, n) is not None else None)
+        for n in ("k", "v", "k_scale", "v_scale")
+    }
+    # engine cache leaves carry the vmapped per-slot batch dim:
+    # k/v (slots, 1, S, Hkv, D), scales (slots, 1, S, Hkv)
+    for li in range(len(cache.k)):
+        kk = jnp.take(cache.k[li][slot, 0], keep_idx, axis=0)  # (K, Hkv, D)
+        vv = jnp.take(cache.v[li][slot, 0], keep_idx, axis=0)
+        if quant:
+            ks = jnp.take(cache.k_scale[li][slot, 0], keep_idx, axis=0)
+            vs = jnp.take(cache.v_scale[li][slot, 0], keep_idx, axis=0)
+            kf = rot(kk.astype(jnp.float32) * ks[..., None])
+            nks = jnp.max(jnp.abs(kf), axis=-1) / 127.0
+            kq = jnp.clip(
+                jnp.round(kf / jnp.maximum(nks[..., None], 1e-8)), -127, 127
+            ).astype(jnp.int8)
+            fields["k"][li] = cache.k[li].at[slot, 0, :K].set(kq)
+            fields["k_scale"][li] = cache.k_scale[li].at[slot, 0, :K].set(nks)
+            fields["v"][li] = cache.v[li].at[slot, 0, :K].set(vv)
+            fields["v_scale"][li] = cache.v_scale[li].at[slot, 0, :K].set(vs)
+        else:
+            fields["k"][li] = cache.k[li].at[slot, 0, :K].set(
+                rot(kk.astype(jnp.float32)).astype(cache.k[li].dtype)
+            )
+            fields["v"][li] = cache.v[li].at[slot, 0, :K].set(vv)
+    length = cache.length.at[slot].set(K)
+    return replace(cache, length=length, **fields)
+
+
+@jax.jit
+def _compact_accum(accum, slot, keep_idx):
+    K = keep_idx.shape[0]
+    row = jnp.take(accum[slot], keep_idx)
+    return accum.at[slot].set(jnp.zeros_like(accum[0]).at[:K].set(row))
 
 
 # ------------------------------ the engine ------------------------------
@@ -317,18 +583,33 @@ class DecodeEngine:
         *,
         max_slots: int = 8,
         max_len: int = 1024,
-        prompt_buckets: tuple[int, ...] = (32, 64, 128, 256, 512),
+        prefill_chunk: int = 128,
         seed: int = 0,
         draft_params=None,
         draft_config=None,
         num_speculative_tokens: int = 4,
         kv_dtype="bfloat16",  # "int8": half the KV HBM → ~2× slots/context
+        kv_policy: Optional[str] = None,  # None | "sink" | "h2o"
+        kv_sink: int = 4,
+        kv_recent: Optional[int] = None,
+        kv_heavy: Optional[int] = None,
+        pp_state=None,  # parallel.pp_serve.PPServeState → pp×tp serving
     ):
         self.params = params
         self.config = config
+        self.pp_state = pp_state
+        if pp_state is not None and (
+            draft_config is not None or kv_policy is not None
+            or kv_dtype not in ("bfloat16", jnp.bfloat16)
+        ):
+            raise ValueError(
+                "pp serving composes with plain bf16 decode only (no draft, "
+                "no kv_policy, no int8 KV) in this version"
+            )
         self.max_slots = max_slots
         self.max_len = max_len
-        self.prompt_buckets = tuple(sorted(prompt_buckets))
+        # a chunk wider than the cache could not be scattered into it
+        self.prefill_chunk = max(1, min(int(prefill_chunk), max_len))
         self.draft_params = draft_params
         self.draft_config = draft_config
         self.gamma = int(num_speculative_tokens)
@@ -337,6 +618,23 @@ class DecodeEngine:
         V = config.vocab_size
 
         self.kv_dtype = kv_dtype
+        if kv_policy not in (None, "sink", "h2o"):
+            raise ValueError(f"unknown kv_policy {kv_policy!r}")
+        self.kv_policy = kv_policy
+        self.kv_sink = int(kv_sink)
+        self.kv_recent = int(kv_recent) if kv_recent is not None else max_len // 2
+        self.kv_heavy = int(kv_heavy) if kv_heavy is not None else max_len // 4
+        step_w = self.gamma + 1 if draft_config is not None else 1
+        if kv_policy is not None:
+            keep = self.kv_recent + (
+                self.kv_sink if kv_policy == "sink" else self.kv_heavy
+            )
+            if keep + step_w > max_len:
+                raise ValueError(
+                    f"kv_policy keep size {keep} + step width {step_w} "
+                    f"exceeds max_len {max_len}"
+                )
+        self._with_mass = kv_policy == "h2o"
 
         def batched_cache(cfg):
             base = init_kv_cache(cfg, 1, max_len, dtype=kv_dtype)
@@ -347,14 +645,24 @@ class DecodeEngine:
                 base,
             )
 
-        self._cache = batched_cache(config)
-        self._draft_cache = (
-            batched_cache(draft_config) if draft_config is not None else None
-        )
+        if pp_state is not None:
+            self._cache = pp_init_cache(pp_state, config, max_slots, max_len)
+            self._draft_cache = None
+        else:
+            self._cache = batched_cache(config)
+            self._draft_cache = (
+                batched_cache(draft_config) if draft_config is not None else None
+            )
         self._tokens = jnp.zeros((max_slots,), jnp.int32)
         self._seen = jnp.zeros((max_slots, V), jnp.bool_)
-        self._allow = jnp.ones((max_slots, V), jnp.bool_)
-        self._guides: list = [None] * max_slots
+        self._accum = jnp.zeros((max_slots, max_len), jnp.float32)
+        self._guide = GuideState(
+            seqs=jnp.full((max_slots, 1, 1), -1, jnp.int32),
+            active=jnp.zeros((max_slots, 1), jnp.bool_),
+            pos=jnp.zeros((max_slots,), jnp.int32),
+            on=jnp.zeros((max_slots,), jnp.bool_),
+        )
+        self._guides: list = [None] * max_slots  # host mirrors (completion)
         self._rng = jax.random.PRNGKey(seed)
         # per-slot sampling knobs (host mirrors; device arrays rebuilt on join)
         self._temp = np.ones((max_slots,), np.float32)
@@ -365,13 +673,17 @@ class DecodeEngine:
 
         self._slots: list[Optional[EngineRequest]] = [None] * max_slots
         self._emitted = np.zeros((max_slots,), np.int64)
+        self._host_len = np.zeros((max_slots,), np.int64)  # cache-length mirror
         self._total_tokens = 0  # emitted tokens since start
         self._total_requests = 0  # completed requests
         self._pending: "queue.Queue[EngineRequest]" = queue.Queue()
+        self._adm: Optional[dict] = None  # in-flight chunked admission
         self._wake = threading.Event()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._steps = 0  # decode steps executed (for tests/metrics)
+        self._compactions = 0  # KV evictions performed (for tests/metrics)
+        self._chunks = 0  # prefill chunks processed (for tests/metrics)
 
     # ------------------------------ public ------------------------------
 
@@ -415,36 +727,90 @@ class DecodeEngine:
             "completed_requests": self._total_requests,
             "speculative": self._draft_cache is not None,
             "kv_dtype": str(self.kv_dtype),
+            "kv_policy": self.kv_policy or "none",
+            "kv_compactions": self._compactions,
+            "prefill_chunks": self._chunks,
         }
 
-    # ------------------------------ internals ------------------------------
+    # --------------------------- admission ---------------------------
 
-    def _bucket(self, t: int) -> int:
-        for b in self.prompt_buckets:
-            if t <= b and b < self.max_len:
-                return b
-        b = max(self.prompt_buckets)
-        while b < t:  # prompts beyond the bucket menu: double, never truncate
-            b *= 2
-        return min(b, self.max_len - 1)
-
-    def _admit(self, req: EngineRequest, slot: int) -> None:
+    def _begin_admission(self, req: EngineRequest, slot: int) -> None:
         ids = np.asarray(req.prompt_ids, np.int32).reshape(-1)
+        C = self.prefill_chunk
         t = len(ids)
-        bucket = self._bucket(t)
-        padded = np.zeros((1, bucket), np.int32)
-        padded[0, : min(t, bucket)] = ids[:bucket]
-        true_len = jnp.int32(min(t, bucket))
-        last, slot_cache, seen_row = _engine_prefill(
-            self.params, self.config, jnp.asarray(padded), true_len,
-            self.max_len, self.kv_dtype,
-        )
+        nc = max(1, -(-t // C))
+        padded = np.zeros((nc * C,), np.int32)
+        padded[:t] = ids
+        self._adm = {
+            "req": req,
+            "slot": slot,
+            "chunks": [padded[i * C:(i + 1) * C][None] for i in range(nc)],
+            "n_valids": [max(0, min(C, t - i * C)) for i in range(nc)],
+            "ci": 0,
+            "cache": (
+                None
+                if self.pp_state is not None
+                else _fresh_slot_cache(self.config, self.max_len, self.kv_dtype)
+            ),
+            "dcache": (
+                _fresh_slot_cache(self.draft_config, self.max_len, self.kv_dtype)
+                if self._draft_cache is not None
+                else None
+            ),
+            "seen": jnp.zeros((self.config.vocab_size,), jnp.bool_),
+            "mass": jnp.zeros((self.max_len,), jnp.float32),
+            "last": None,
+        }
+        if self.pp_state is not None:
+            # pp mode prefills IN PLACE into the pool cache; the reused slot
+            # must restart from position 0
+            self._cache = _pp_reset_slot(self._cache, jnp.int32(slot))
+            seen_np = np.zeros((self.config.vocab_size,), bool)
+            seen_np[ids] = True
+            self._adm["seen"] = jnp.asarray(seen_np)
+
+    def _admission_step(self) -> None:
+        """Process ONE prefill chunk of the in-flight admission; on the final
+        chunk, sample the first token and activate the slot."""
+        adm = self._adm
+        req: EngineRequest = adm["req"]
+        if req.cancelled:
+            req.out.put(EngineRequest._DONE)
+            self._adm = None
+            return
+        ci = adm["ci"]
+        ids = jnp.asarray(adm["chunks"][ci])
+        nv = jnp.int32(adm["n_valids"][ci])
+        if self.pp_state is not None:
+            adm["last"], self._cache = pp_prefill_chunk(
+                self.pp_state, self.config, self._cache, ids,
+                jnp.int32(adm["slot"]), nv,
+            )
+        else:
+            adm["last"], adm["cache"], adm["seen"], adm["mass"] = _prefill_chunk(
+                self.params, self.config, adm["cache"], ids, nv, adm["seen"],
+                adm["mass"], with_mass=self._with_mass,
+            )
+            if adm["dcache"] is not None:
+                _, adm["dcache"], _, _ = _prefill_chunk(
+                    self.draft_params, self.draft_config, adm["dcache"], ids, nv,
+                    adm["seen"], adm["mass"], with_mass=False,
+                )
+        self._chunks += 1
+        adm["ci"] = ci + 1
+        if adm["ci"] < len(adm["chunks"]):
+            return
+        self._finish_admission(adm)
+        self._adm = None
+
+    def _finish_admission(self, adm: dict) -> None:
+        req: EngineRequest = adm["req"]
+        slot = adm["slot"]
         self._temp[slot] = req.temperature
         self._topk[slot] = req.top_k
         self._topp[slot] = req.top_p
         self._dos[slot] = req.do_sample
         self._rep[slot] = req.repetition_penalty
-        self._rng, sub = jax.random.split(self._rng)
         cfg_arrays = (
             jnp.float32(req.temperature),
             jnp.int32(req.top_k),
@@ -456,59 +822,117 @@ class DecodeEngine:
         if req.guided_token_seqs:
             seqs = [list(map(int, s)) for s in req.guided_token_seqs if len(s)]
             if seqs:
-                guide = {"seqs": seqs, "pos": 0}
+                guide = {"seqs": seqs, "active": [True] * len(seqs), "pos": 0}
         self._guides[slot] = guide
-        allow_row = self._allow_row_for(guide)
-        self._allow = self._allow.at[slot].set(allow_row)
-        tok, seen_row = _first_token(last, sub, cfg_arrays, seen_row, allow_row)
-        self._cache, self._seen = _insert_slot(
-            self._cache, slot_cache, jnp.int32(slot), self._seen, seen_row
+        # first-token allow row: built ONCE per request on the host; every
+        # subsequent step derives the mask on device from GuideState
+        V = self.config.vocab_size
+        if guide is None:
+            allow_row = jnp.ones((V,), jnp.bool_)
+        else:
+            row = np.zeros((V,), bool)
+            for s in guide["seqs"]:
+                row[s[0]] = True
+            allow_row = jnp.asarray(row)
+        self._rng, sub = jax.random.split(self._rng)
+        tok, seen_row = _first_token(
+            adm["last"], sub, cfg_arrays, adm["seen"], allow_row
         )
-        if self._draft_cache is not None:
-            _, dslot_cache, _ = _engine_prefill(
-                self.draft_params, self.draft_config,
-                jnp.asarray(padded), true_len, self.max_len, self.kv_dtype,
+        if self.pp_state is not None:
+            # prefill already wrote the pool cache in place
+            self._seen = self._seen.at[slot].set(seen_row)
+        else:
+            self._cache, self._seen = _insert_slot(
+                self._cache, adm["cache"], jnp.int32(slot), self._seen, seen_row
             )
-            self._draft_cache, self._seen = _insert_slot(
-                self._draft_cache, dslot_cache, jnp.int32(slot),
-                self._seen, seen_row,
-            )
+            if adm["dcache"] is not None:
+                self._draft_cache, self._seen = _insert_slot(
+                    self._draft_cache, adm["dcache"], jnp.int32(slot),
+                    self._seen, seen_row,
+                )
+        if self._with_mass:
+            self._accum = self._accum.at[slot].set(adm["mass"])
         self._tokens = self._tokens.at[slot].set(tok)
         self._slots[slot] = req
         self._emitted[slot] = 0
-        # the prefill already produced the first token — emit it now
+        self._host_len[slot] = len(req.prompt_ids)
+        # the prefill already produced the first token — emit it, advance the
+        # host guide mirror, then sync the slot's device GuideState once
         self._emit(slot, int(tok))
-        self._post_emit(slot, int(tok))
+        self._advance_guide_mirror(slot, int(tok))
+        self._sync_guide_row(slot)
 
-    def _allow_row_for(self, guide) -> jnp.ndarray:
-        V = self.config.vocab_size
-        if guide is None:
-            return jnp.ones((V,), jnp.bool_)
-        row = np.zeros((V,), bool)
-        pos = guide["pos"]
-        for seq in guide["seqs"]:
-            if len(seq) > pos:
-                row[seq[pos]] = True
-        if not row.any():  # degenerate guide: unconstrain rather than stall
-            row[:] = True
-        return jnp.asarray(row)
+    # --------------------------- guided choice ---------------------------
 
-    def _post_emit(self, slot: int, token: int) -> None:
-        """Advance the slot's guided-choice state after a token emits;
-        finish on the shortest complete match; clear state on slot exit."""
+    def _guide_caps(self) -> tuple[int, int]:
+        return self._guide.seqs.shape[1], self._guide.seqs.shape[2]
+
+    def _grow_guide(self, n_seqs: int, n_len: int) -> None:
+        """High-water-mark growth of the device guide arrays (recompiles the
+        step once per new shape; request content never changes shapes again)."""
+        S0, L0 = self._guide_caps()
+        S1, L1 = max(S0, n_seqs), max(L0, n_len)
+        if (S1, L1) == (S0, L0):
+            return
+        old = np.asarray(self._guide.seqs)
+        seqs = np.full((self.max_slots, S1, L1), -1, np.int32)
+        seqs[:, :S0, :L0] = old
+        active = np.zeros((self.max_slots, S1), bool)
+        active[:, :S0] = np.asarray(self._guide.active)
+        self._guide = GuideState(
+            seqs=jnp.asarray(seqs),
+            active=jnp.asarray(active),
+            pos=self._guide.pos,
+            on=self._guide.on,
+        )
+
+    def _sync_guide_row(self, slot: int) -> None:
+        """Write one slot's guide mirror into the device GuideState (slot
+        transitions only — admission, completion, termination)."""
+        g = self._guides[slot]
+        if g is None:
+            self._guide = replace(
+                self._guide, on=self._guide.on.at[slot].set(False)
+            )
+            return
+        self._grow_guide(len(g["seqs"]), max(len(s) for s in g["seqs"]))
+        S, L = self._guide_caps()
+        row = np.full((S, L), -1, np.int32)
+        act = np.zeros((S,), bool)
+        for i, s in enumerate(g["seqs"]):
+            row[i, : len(s)] = s
+            act[i] = g["active"][i]
+        self._guide = GuideState(
+            seqs=self._guide.seqs.at[slot].set(jnp.asarray(row)),
+            active=self._guide.active.at[slot].set(jnp.asarray(act)),
+            pos=self._guide.pos.at[slot].set(g["pos"]),
+            on=self._guide.on.at[slot].set(True),
+        )
+
+    def _advance_guide_mirror(self, slot: int, token: int) -> None:
+        """Mirror the device-side _guide_advance on the host and finish the
+        slot on the shortest complete match (host owns slot lifecycle)."""
         if self._slots[slot] is None:
             if self._guides[slot] is not None:  # slot ended some other way
                 self._guides[slot] = None
-                self._allow = self._allow.at[slot].set(True)
+                self._sync_guide_row(slot)
             return
         g = self._guides[slot]
         if g is None:
             return
         pos = g["pos"]
-        g["seqs"] = [s for s in g["seqs"] if len(s) > pos and s[pos] == token]
+        constrained = any(
+            a and len(s) > pos for a, s in zip(g["active"], g["seqs"])
+        )
+        if not constrained:
+            return
+        g["active"] = [
+            a and len(s) > pos and s[pos] == token
+            for a, s in zip(g["active"], g["seqs"])
+        ]
         g["pos"] = pos + 1
-        complete = (not g["seqs"]) or any(
-            len(s) == g["pos"] for s in g["seqs"]
+        complete = (not any(g["active"])) or any(
+            a and len(s) == g["pos"] for a, s in zip(g["active"], g["seqs"])
         )
         if complete:
             req = self._slots[slot]
@@ -516,9 +940,57 @@ class DecodeEngine:
             self._slots[slot] = None
             self._total_requests += 1
             self._guides[slot] = None
-            self._allow = self._allow.at[slot].set(True)
-        else:
-            self._allow = self._allow.at[slot].set(self._allow_row_for(g))
+            self._sync_guide_row(slot)
+
+    # --------------------------- KV eviction ---------------------------
+
+    def _step_width(self) -> int:
+        return (self.gamma + 1) if self._draft_cache is not None else 1
+
+    def _maybe_compact(self) -> None:
+        """Compact any active slot whose next step would overflow the cache
+        (kv_policy only). Host selects the kept rows; the device compaction
+        program is compiled once per keep-size."""
+        if self.kv_policy is None:
+            return
+        w = self._step_width()
+        for slot in range(self.max_slots):
+            if self._slots[slot] is None:
+                continue
+            if self._host_len[slot] + w <= self.max_len:
+                continue
+            old_len = int(self._host_len[slot])
+            recent = min(self.kv_recent, old_len)
+            if self.kv_policy == "sink":
+                sink = min(self.kv_sink, old_len - recent)
+                keep = np.concatenate(
+                    [np.arange(sink), np.arange(old_len - recent, old_len)]
+                )
+            else:  # h2o: heavy hitters by accumulated attention mass + recent
+                acc = np.asarray(self._accum[slot])[:old_len]
+                rs = old_len - recent
+                heavy = min(self.kv_heavy, rs)
+                cand = acc[:rs]
+                hv = np.sort(np.argpartition(cand, -heavy)[-heavy:]) if heavy else np.empty((0,), np.int64)
+                keep = np.concatenate([hv, np.arange(rs, old_len)])
+            keep_idx = jnp.asarray(keep.astype(np.int32))
+            spec = _rope_spec(self.config)
+            self._cache = _compact_cache_slot(
+                self._cache, jnp.int32(slot), keep_idx, spec
+            )
+            if self._draft_cache is not None:
+                self._draft_cache = _compact_cache_slot(
+                    self._draft_cache, jnp.int32(slot), keep_idx,
+                    _rope_spec(self.draft_config),
+                )
+            if self._with_mass:
+                self._accum = _compact_accum(
+                    self._accum, jnp.int32(slot), keep_idx
+                )
+            self._host_len[slot] = len(keep)
+            self._compactions += 1
+
+    # ------------------------------ internals ------------------------------
 
     def _emit(self, slot: int, token: int) -> None:
         req = self._slots[slot]
@@ -535,40 +1007,60 @@ class DecodeEngine:
             self._total_tokens += 1
             if self._emitted[slot] >= req.max_new_tokens:
                 done = True
-        # slot position exhaustion: cache is full (speculative steps write up
-        # to gamma+1 positions at once, so they need that much headroom)
-        headroom = (self.gamma + 1) if self._draft_cache is not None else 1
-        if not done and self._emitted[slot] + len(req.prompt_ids) >= self.max_len - headroom:
+        # slot position exhaustion WITHOUT an eviction policy: the cache is
+        # full, terminate (speculative steps write up to gamma+1 positions at
+        # once, so they need that much headroom); with kv_policy set the slot
+        # compacts instead (see _maybe_compact) and never exhausts
+        if (
+            not done
+            and self.kv_policy is None
+            and self._emitted[slot] + len(req.prompt_ids)
+            >= self.max_len - self._step_width()
+        ):
             done = True
         if done:
             req.out.put(EngineRequest._DONE)
             self._slots[slot] = None
             self._total_requests += 1
+            if self._guides[slot] is not None:
+                self._guides[slot] = None
+                self._sync_guide_row(slot)
 
     def _loop(self) -> None:
         while not self._stop.is_set():
-            # admit pending requests into free slots
-            admitted = False
-            for slot in range(self.max_slots):
-                if self._slots[slot] is None:
+            # begin at most one admission into a free, un-reserved slot
+            if self._adm is None:
+                reserved = -1
+                for slot in range(self.max_slots):
+                    if self._slots[slot] is None:
+                        reserved = slot
+                        break
+                if reserved >= 0:
                     try:
                         req = self._pending.get_nowait()
                         while req.cancelled:  # dropped before admission
                             req.out.put(EngineRequest._DONE)
                             req = self._pending.get_nowait()
+                        self._begin_admission(req, reserved)
                     except queue.Empty:
-                        break
-                    self._admit(req, slot)
-                    admitted = True
-            if not any(s is not None for s in self._slots):
-                if not admitted:
+                        pass
+            # ONE prefill chunk per iteration — admissions interleave with
+            # decode steps instead of stalling the pool (chunked prefill)
+            if self._adm is not None:
+                self._admission_step()
+            active = [s is not None for s in self._slots]
+            if not any(active):
+                if self._adm is None and self._pending.empty():
                     self._wake.wait(timeout=0.05)
                     self._wake.clear()
                 continue
+            # evict before the step if any slot would overflow its cache
+            self._maybe_compact()
             # one decode step for the whole pool
             if self._draft_cache is not None:
                 (out_tokens, out_count, self._tokens, self._cache,
-                 self._draft_cache, self._rng, self._seen) = _spec_engine_step(
+                 self._draft_cache, self._rng, self._seen, self._guide,
+                 self._accum) = _spec_engine_step(
                     self.params, self.config,
                     self.draft_params, self.draft_config,
                     self._cache, self._draft_cache,
@@ -579,20 +1071,51 @@ class DecodeEngine:
                     jnp.asarray(self._dos),
                     jnp.asarray(self._rep),
                     self._seen,
-                    self._allow,
+                    self._guide,
+                    self._accum,
                     self.gamma,
+                    self._with_mass,
                 )
                 self._steps += 1
                 ot, oc = np.asarray(out_tokens), np.asarray(out_count)
                 for slot in range(self.max_slots):
+                    if active[slot]:
+                        self._host_len[slot] += int(oc[slot])
                     for j in range(int(oc[slot])):
                         if self._slots[slot] is None:
                             break  # EOS/limit mid-step: drop the tail
                         t = int(ot[slot, j])
                         self._emit(slot, t)
-                        self._post_emit(slot, t)
+                        self._advance_guide_mirror(slot, t)
+            elif self.pp_state is not None:
+                (self._tokens, self._cache, self._rng, self._seen,
+                 self._guide) = _pp_engine_step(
+                    self.pp_state,
+                    self.config,
+                    self._cache,
+                    self._tokens,
+                    jnp.asarray(np.array(active, bool)),
+                    self._rng,
+                    jnp.asarray(self._temp),
+                    jnp.asarray(self._topk),
+                    jnp.asarray(self._topp),
+                    jnp.asarray(self._dos),
+                    jnp.asarray(self._rep),
+                    self._seen,
+                    self._guide,
+                )
+                self._steps += 1
+                toks = np.asarray(self._tokens)
+                for slot in range(self.max_slots):
+                    if active[slot]:
+                        self._host_len[slot] += 1
+                    if self._slots[slot] is not None:
+                        t = int(toks[slot])
+                        self._emit(slot, t)
+                        self._advance_guide_mirror(slot, t)
             else:
-                self._tokens, self._cache, self._rng, self._seen = _engine_step(
+                (self._tokens, self._cache, self._rng, self._seen,
+                 self._guide, self._accum) = _engine_step(
                     self.params,
                     self.config,
                     self._cache,
@@ -604,15 +1127,19 @@ class DecodeEngine:
                     jnp.asarray(self._dos),
                     jnp.asarray(self._rep),
                     self._seen,
-                    self._allow,
+                    self._guide,
+                    self._accum,
+                    self._with_mass,
                 )
                 self._steps += 1
                 toks = np.asarray(self._tokens)
                 for slot in range(self.max_slots):
+                    if active[slot]:
+                        self._host_len[slot] += 1
                     if self._slots[slot] is not None:
                         t = int(toks[slot])
                         self._emit(slot, t)
-                        self._post_emit(slot, t)
+                        self._advance_guide_mirror(slot, t)
 
     # ----------------------------- conveniences -----------------------------
 

@@ -157,6 +157,26 @@ def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
 
+# Trace-time tap for H2O attention-mass statistics: when a jitted caller
+# (models/engine.py h2o policy) sets `mass_tap` to a list before tracing a
+# model apply, every attention() call appends its per-key attention mass
+# (Tq, Tk) f32 summed over batch+heads — the reference's heavy-hitter
+# statistic (kv_cache_compression/prune/h2o.py:23 local_heavy_hitter_mask)
+# collected without changing any model family's apply signature. Thread-local
+# so concurrent traces in a threaded server never cross-pollinate.
+import threading as _threading
+
+_tap_tls = _threading.local()
+
+
+def set_mass_tap(tap: Optional[list]) -> None:
+    _tap_tls.mass_tap = tap
+
+
+def get_mass_tap() -> Optional[list]:
+    return getattr(_tap_tls, "mass_tap", None)
+
+
 def attention(
     q: jax.Array,  # (B, Tq, H, D)
     k: jax.Array,  # (B, Tk, Hkv, D)
@@ -185,7 +205,11 @@ def attention(
         logits = logits + bias.astype(jnp.float32)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    tap = get_mass_tap()
+    if tap is not None:
+        tap.append(jnp.sum(probs, axis=(0, 1)))  # (Tq, Tk)
+    probs = probs.astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=q.dtype)
 
 

@@ -1,0 +1,312 @@
+"""Pipeline-parallel SERVING: pp×tp decode for the continuous-batching engine.
+
+Beyond the reference (SURVEY.md §2.3: PP absent in ITREX; its serving TP is
+DeepSpeed AutoTP, model_utils.py:249-291). `parallel/pipeline.py` pipelines
+TRAINING forwards; this module pipelines the *decode step* so one model's
+weights spread over `pp` stages × `tp` shards of a mesh and the engine's
+whole slot pool advances one token per step program:
+
+- Layers are stacked and split into S stages; each stage's slice lives on one
+  `pp` mesh slot, with Megatron-style tensor parallelism INSIDE each stage
+  (q/k/v/gate/up column-sharded, o/down row-sharded + one `psum` over `tp`
+  per block) — all inside a single `shard_map`, so the collectives ride ICI.
+- The KV cache is staged the same way: (S, L/S, B, T, Hkv, D) with the head
+  dim tp-sharded; each pp rank owns only its layers' cache.
+- A decode tick runs S sequential stage hops (one `ppermute` each). Every
+  rank computes each tick and commits its cache only on ITS tick — the
+  static-shape SPMD formulation of sequential pipeline inference.
+- Per-slot cache lengths + a per-slot `write_mask` let the engine prefill a
+  joining slot IN PLACE (chunk by chunk) while other slots keep decoding —
+  no separate insert/scatter step.
+
+Greedy parity with the single-device engine is pinned by
+tests/test_pp_serving.py (pp=2 × tp=2 on the 8-device CPU mesh).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from intel_extension_for_transformers_tpu.ops.layers import (
+    apply_rotary,
+    rms_norm,
+    rotary_embedding,
+)
+
+
+@dataclass
+class PPCache:
+    """Stage-stacked KV cache: k/v (S, L/S, B, T, Hkv, D), length (B,)."""
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array  # (B,) int32 per-slot fill
+
+
+jax.tree_util.register_dataclass(
+    PPCache, data_fields=["k", "v", "length"], meta_fields=[]
+)
+
+
+@dataclass(frozen=True, eq=False)  # eq=False → identity hash (static jit arg)
+class PPServeState:
+    """Stage/tp-sharded llama-family weights + the serving mesh (static)."""
+
+    staged: dict  # layer tree with (S, L/S, ...) leaves, pp+tp sharded
+    embed: jax.Array  # (V, H) replicated
+    final_norm: jax.Array
+    lm_head: jax.Array  # (H, V) replicated
+    mesh: Mesh
+
+
+def _llama_layer_specs(layer: dict) -> dict:
+    """PartitionSpec tree for ONE stacked-staged llama layer: every leaf has
+    leading (pp-sharded) stage + layer axes, then its own dims; attention
+    q/k/v and mlp gate/up shard their output dim over tp, o/down their input
+    dim (Megatron pairing — one psum per block)."""
+
+    def col(p):  # kernel (S, Lr, K, N) → N over tp; bias (S, Lr, N) → tp
+        out = {"kernel": P("pp", None, None, "tp")}
+        if "bias" in p:
+            out["bias"] = P("pp", None, "tp")
+        return out
+
+    def row(p):
+        out = {"kernel": P("pp", None, "tp", None)}
+        if "bias" in p:
+            out["bias"] = P("pp", None, None)
+        return out
+
+    return {
+        "input_norm": P("pp", None, None),
+        "attention": {
+            "q": col(layer["attention"]["q"]),
+            "k": col(layer["attention"]["k"]),
+            "v": col(layer["attention"]["v"]),
+            "o": row(layer["attention"]["o"]),
+        },
+        "post_norm": P("pp", None, None),
+        "mlp": {
+            "gate": col(layer["mlp"]["gate"]),
+            "up": col(layer["mlp"]["up"]),
+            "down": row(layer["mlp"]["down"]),
+        },
+    }
+
+
+def build_pp_serve_state(params: dict, config, mesh: Mesh) -> PPServeState:
+    """Stack + stage + shard llama-family params for pp×tp serving."""
+    if getattr(config, "num_local_experts", 0):
+        raise NotImplementedError("pp serving does not cover MoE yet")
+    S = mesh.shape["pp"]
+    L = config.num_hidden_layers
+    if L % S:
+        raise ValueError(f"{L} layers not divisible by pp={S}")
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["layers"])
+    staged = jax.tree.map(
+        lambda x: x.reshape(S, L // S, *x.shape[1:]), stacked
+    )
+    specs = _llama_layer_specs(params["layers"][0])
+    staged = jax.tree.map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), staged, specs
+    )
+    rep = NamedSharding(mesh, P())
+    lm = params["lm_head"]["kernel"]
+    return PPServeState(
+        staged=staged,
+        embed=jax.device_put(jnp.asarray(params["embed_tokens"]), rep),
+        final_norm=jax.device_put(jnp.asarray(params["final_norm"]), rep),
+        lm_head=jax.device_put(jnp.asarray(lm), rep),
+        mesh=mesh,
+    )
+
+
+def pp_init_cache(state: PPServeState, config, batch: int, max_len: int,
+                  dtype=jnp.bfloat16) -> PPCache:
+    mesh = state.mesh
+    S = mesh.shape["pp"]
+    Lr = config.num_hidden_layers // S
+    shape = (S, Lr, batch, max_len, config.num_key_value_heads,
+             config.head_dim)
+    sh = NamedSharding(mesh, P("pp", None, None, None, "tp", None))
+    zeros = jax.jit(
+        lambda: jnp.zeros(shape, dtype), out_shardings=sh
+    )
+    return PPCache(
+        k=zeros(), v=zeros(),
+        length=jax.device_put(
+            jnp.zeros((batch,), jnp.int32), NamedSharding(mesh, P())
+        ),
+    )
+
+
+@partial(jax.jit, static_argnames=("state", "config"))
+def pp_apply(
+    state: PPServeState,
+    config,
+    ids: jax.Array,  # (B, T)
+    cache: PPCache,
+    n_valid: jax.Array,  # (B,) — how far each slot's length advances
+    write_mask: jax.Array,  # (B,) bool — slots whose cache commits
+):
+    """Forward (B, T) tokens through the pipelined stack → (logits, cache).
+
+    Same cache contract as models.llama.llama_apply, vectorized per slot:
+    slot b's K/V write at [length[b], length[b]+T) and its length advances by
+    n_valid[b] (pads past it are overwritten before any query attends them);
+    slots outside write_mask neither write nor advance."""
+    mesh = state.mesh
+    B, T = ids.shape
+    S = mesh.shape["pp"]
+    tp = mesh.shape["tp"]
+    nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
+                   config.head_dim)
+    eps = config.rms_norm_eps
+
+    x = jnp.take(state.embed, ids, axis=0)  # (B, T, H)
+    positions = cache.length[:, None] + jnp.arange(T)[None, :]  # (B, T)
+    cos, sin = rotary_embedding(
+        positions, hd, config.rope_theta, getattr(config, "rope_scaling", None)
+    )
+    Smax = cache.k.shape[3]
+    ki = jnp.arange(Smax)[None, None, :]
+    qi = positions[:, :, None]
+    mask = ki <= qi  # (B, T, Smax)
+    if getattr(config, "sliding_window", None) is not None:
+        mask = mask & (qi - ki < config.sliding_window)
+    mask = mask[:, None, :, :]  # (B, 1, T, Smax)
+    posmat = positions.astype(jnp.int32)  # scatter rows per slot
+    bidx = jnp.arange(B)
+
+    def layer_fwd(layer, kl, vl, h, cos, sin, mask, posmat, wmask_b):
+        """One tp-sharded decoder layer over local (B,T,H) + local cache
+        (B, Smax, Hkv/tp, D). Mirrors models/llama.py:_decoder_layer."""
+        att = layer["attention"]
+        xn = rms_norm(h, layer["input_norm"], eps)
+
+        def lin(p):
+            y = jnp.einsum("btk,kn->btn", xn, p["kernel"].astype(xn.dtype),
+                           preferred_element_type=xn.dtype)
+            if "bias" in p:
+                y = y + p["bias"].astype(y.dtype)
+            return y
+
+        nh_l, nkv_l = nh // tp, nkv // tp
+        q = lin(att["q"]).reshape(B, T, nh_l, hd)
+        k = lin(att["k"]).reshape(B, T, nkv_l, hd)
+        v = lin(att["v"]).reshape(B, T, nkv_l, hd)
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+
+        kl_new = kl.at[bidx[:, None], posmat].set(k.astype(kl.dtype))
+        vl_new = vl.at[bidx[:, None], posmat].set(v.astype(vl.dtype))
+        wm = wmask_b[:, None, None, None]
+        kl = jnp.where(wm, kl_new, kl)
+        vl = jnp.where(wm, vl_new, vl)
+
+        k_all, v_all = kl.astype(h.dtype), vl.astype(h.dtype)
+        if nkv_l != nh_l:
+            rep = nh_l // nkv_l
+            k_all = jnp.repeat(k_all, rep, axis=2)
+            v_all = jnp.repeat(v_all, rep, axis=2)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k_all, preferred_element_type=jnp.float32
+        ) * (1.0 / hd**0.5)
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v_all,
+                         preferred_element_type=h.dtype)
+        attn = jnp.einsum(
+            "btk,kn->btn", ctx.reshape(B, T, nh_l * hd),
+            att["o"]["kernel"].astype(h.dtype),
+            preferred_element_type=h.dtype,
+        )
+        h = h + jax.lax.psum(attn, "tp")
+
+        mlp = layer["mlp"]
+        xn2 = rms_norm(h, layer["post_norm"], eps)
+
+        def lin2(p, z):
+            return jnp.einsum("btk,kn->btn", z, p["kernel"].astype(z.dtype),
+                              preferred_element_type=z.dtype)
+
+        y = jax.nn.silu(lin2(mlp["gate"], xn2)) * lin2(mlp["up"], xn2)
+        h = h + jax.lax.psum(lin2(mlp["down"], y), "tp")
+        return h, kl, vl
+
+    def shard_fn(staged_local, k_local, v_local, x, cos, sin, mask, posmat,
+                 wmask_b):
+        # locals arrive (1, Lr, ...) on the stage axis — drop it
+        stage_params = jax.tree.map(lambda a: a[0], staged_local)
+        k_st, v_st = k_local[0], v_local[0]  # (Lr, B, Smax, Hkv/tp, D)
+        s = jax.lax.axis_index("pp")
+
+        def stage_compute(h, k_st, v_st):
+            def body(h, inputs):
+                layer, kl, vl = inputs
+                h, kl, vl = layer_fwd(layer, kl, vl, h, cos, sin, mask,
+                                      posmat, wmask_b)
+                return h, (kl, vl)
+
+            h, (k_new, v_new) = jax.lax.scan(
+                body, h, (stage_params, k_st, v_st)
+            )
+            return h, k_new, v_new
+
+        buf = x
+        h_out = x
+        perm = [(i, (i + 1) % S) for i in range(S)]
+        for tick in range(S):
+            h_out, k_new, v_new = stage_compute(buf, k_st, v_st)
+            commit = s == tick  # each rank owns exactly one tick
+            k_st = jnp.where(commit, k_new, k_st)
+            v_st = jnp.where(commit, v_new, v_st)
+            if S > 1:
+                buf = jax.lax.ppermute(h_out, "pp", perm)
+        final = jax.lax.psum(jnp.where(s == S - 1, h_out, 0.0), "pp")
+        return final, k_st[None], v_st[None]
+
+    cspec = P("pp", None, None, None, "tp", None)
+    pspec = _llama_layer_specs(state.staged)  # same tree shape as one layer
+    hidden, new_k, new_v = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(pspec, cspec, cspec, P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), cspec, cspec),
+        check_vma=False,
+    )(state.staged, cache.k, cache.v, x, cos, sin, mask, posmat, write_mask)
+
+    hidden = rms_norm(hidden, state.final_norm, eps)
+    logits = jnp.einsum(
+        "bth,hv->btv", hidden, state.lm_head.astype(hidden.dtype),
+        preferred_element_type=hidden.dtype,
+    )
+    length = jnp.where(
+        write_mask, cache.length + n_valid.astype(jnp.int32), cache.length
+    )
+    return logits, PPCache(k=new_k, v=new_v, length=length)
+
+
+@partial(jax.jit, static_argnames=("state", "config"))
+def pp_prefill_chunk(state, config, cache, chunk, slot, n_valid):
+    """Prefill ONE (1, C) chunk of a joining slot IN PLACE in the pool cache
+    (write_mask singles the slot out; other slots are untouched).
+    → (last-real-token logits (V,) f32, cache)."""
+    B = cache.length.shape[0]
+    C = chunk.shape[1]
+    ids = jnp.zeros((B, C), jnp.int32).at[slot].set(chunk[0])
+    onehot = jnp.arange(B) == slot
+    logits, cache = pp_apply(
+        state, config, ids, cache,
+        n_valid=jnp.where(onehot, n_valid, 0),
+        write_mask=onehot,
+    )
+    last = logits[slot, jnp.clip(n_valid - 1, 0, C - 1)].astype(jnp.float32)
+    return last, cache
