@@ -3,6 +3,7 @@ from intel_extension_for_transformers_tpu.evaluation.harness import (
     evaluate_perplexity,
     loglikelihood,
 )
+from intel_extension_for_transformers_tpu.evaluation import synthetic as _synthetic  # noqa: F401  (registers synthetic_* tasks)
 from intel_extension_for_transformers_tpu.evaluation.tasks import (
     GreedyContinuationTask,
     MultipleChoiceTask,

@@ -15,7 +15,10 @@ system:
   schemes) have shape (K//group_size, N). Group boundaries must not straddle
   the half split: group_size must divide K//2.
 
-Supported dtypes: "int4" (symmetric, [-8, 7]), "int4_asym" via scheme="asym"
+Supported dtypes: "int4" (symmetric, [-8, 7]), "int4_asym" via scheme="asym",
+"int3"/"int2" (sub-4-bit RTN in the same nibble layout — the analogue of the
+reference AutoRoundConfig bits=2..8 range; mostly useful as deliberately
+lossy rungs for accuracy-gate testing),
 ([0, 15] + zero point), "int8" (symmetric, unpacked), "nf4"/"fp4" (codebook
 indices, absmax scale per group).
 """
@@ -32,7 +35,7 @@ import numpy as np
 
 from intel_extension_for_transformers_tpu.ops.codebooks import get_codebook
 
-WEIGHT_DTYPES = ("int4", "int8", "nf4", "fp4", "fp4_e2m1")
+WEIGHT_DTYPES = ("int4", "int8", "nf4", "fp4", "fp4_e2m1", "int3", "int2")
 
 
 @dataclass
@@ -273,7 +276,7 @@ def quantize_groupwise(
         data = pack_int4(idx.reshape(K, N))
         scales = scales[:, 0, :]
     elif scheme == "sym":
-        qmax = 127.0 if bits == 8 else 7.0
+        qmax = {"int8": 127.0, "int4": 7.0, "int3": 3.0, "int2": 1.0}[weight_dtype]
         absmax = jnp.max(jnp.abs(g), axis=1, keepdims=True)
         scales = jnp.where(absmax == 0, 1.0, absmax / qmax)
         q = jnp.clip(jnp.round(g / scales), -qmax - 1, qmax).astype(jnp.int8)
@@ -281,7 +284,7 @@ def quantize_groupwise(
         data = pack_int4(q) if bits == 4 else q
         scales = scales[:, 0, :]
     elif scheme == "asym":
-        qmax = 255.0 if bits == 8 else 15.0
+        qmax = {"int8": 255.0, "int4": 15.0, "int3": 7.0, "int2": 3.0}[weight_dtype]
         wmin = jnp.min(g, axis=1, keepdims=True)
         wmax = jnp.max(g, axis=1, keepdims=True)
         rng = wmax - wmin

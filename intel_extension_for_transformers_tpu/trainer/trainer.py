@@ -444,8 +444,18 @@ class NLPTrainer:
 
         def score(params):
             res = evaluate(params, self.model_config, tokenizer, eval_tasks)
-            accs = [m["acc"] for m in res.values() if "acc" in m]
-            return (sum(accs) / len(accs)) if accs else 0.0, res
+            # acc where a task reports it; perplexity-only tasks contribute
+            # exp(-nll) = 1/ppl (mean per-token probability) — an acc-like
+            # quantity in (0, 1) whose RELATIVE drop mirrors a ppl rise, so
+            # a gate on tasks like `synthetic_ppl` discriminates quantization
+            # damage even when n-small accuracy tasks are at chance
+            goods = []
+            for m in res.values():
+                if "acc" in m:
+                    goods.append(m["acc"])
+                elif "ppl" in m:
+                    goods.append(1.0 / max(float(m["ppl"]), 1e-9))
+            return (sum(goods) / len(goods)) if goods else 0.0, res
 
         base_acc, base_res = score(self.params)
         candidates = [quant_config]

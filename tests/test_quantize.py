@@ -68,7 +68,7 @@ def test_config_roundtrip(tmp_path):
 
 def test_config_validation():
     with pytest.raises(ValueError):
-        RtnConfig(weight_dtype="int3")
+        RtnConfig(weight_dtype="int16")  # int4/int3/int2/int8/nf4/fp4 only
     with pytest.raises(ValueError):
         RtnConfig(scheme="bogus")
     with pytest.raises(ValueError):
