@@ -518,7 +518,15 @@ class ChatApp:
         """→ (status, payload). payload is a dict (JSON), a generator
         (SSE stream), or an ("html", str) tuple."""
         if method == "GET" and path in ("/", "/ui"):
-            # built-in browser chat page (the gradio-frontend analogue)
+            # full chat frontend: sessions + streaming markdown + stop +
+            # sampling controls (the gradio-basic-app analogue)
+            from intel_extension_for_transformers_tpu.neural_chat.ui import (
+                CHAT_APP_HTML,
+            )
+
+            return 200, ("html", CHAT_APP_HTML)
+        if method == "GET" and path == "/basic":
+            # minimal dependency-free page (kept for constrained clients)
             from intel_extension_for_transformers_tpu.neural_chat.ui import (
                 CHAT_HTML,
             )
@@ -826,15 +834,21 @@ class NeuralChatServerExecutor:
         # (draft) model, if loaded, drafts gamma tokens per slot per step
         draft = getattr(self.chatbot, "assistant", None)
         d_params, d_config = draft if draft is not None else (None, None)
+        kv_kwargs = {}
+        for key in ("kv_policy", "kv_sink", "kv_recent", "kv_heavy"):
+            if serving.get(key) is not None:
+                kv_kwargs[key] = serving[key]
         self.engine = DecodeEngine(
             params,
             model_config,
             max_slots=int(serving.get("max_slots", 8)),
             max_len=int(serving.get("max_len", 1024)),
+            prefill_chunk=int(serving.get("prefill_chunk", 128)),
             draft_params=d_params,
             draft_config=d_config,
             num_speculative_tokens=int(serving.get("num_speculative_tokens", 4)),
             kv_dtype=serving.get("kv_dtype", "bfloat16"),
+            **kv_kwargs,
         ).start()
         return self.engine
 

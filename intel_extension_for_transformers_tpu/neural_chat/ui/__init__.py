@@ -178,3 +178,9 @@ document.getElementById("f").addEventListener("submit", (e) => {
 </body>
 </html>
 """
+
+from intel_extension_for_transformers_tpu.neural_chat.ui.chat_app import (  # noqa: E402
+    CHAT_APP_HTML,
+)
+
+__all__ = ["CHAT_HTML", "SIDE_BY_SIDE_HTML", "CHAT_APP_HTML"]
