@@ -1,0 +1,195 @@
+"""IVF at 10M vectors on ONE chip: QPS / recall / memory per codec.
+
+The scale point between the measured 300k (bench_ivf.py) and the 100M v5e-8
+target of BASELINE.json configs[3]: a 10M×768 index fits a single chip's
+HBM only through the residual codecs (int4 ≈ 0.3 GB/M padded, int8 ≈ 1 GB/M)
+— bf16 raw (15.4 GB) does not, which is itself the design argument for the
+codec menu. Host-side generation streams in 1M chunks (10M×768 f32 = 30 GB
+would also be fine in RAM but chunking keeps peak low and lets the oracle
+accumulate incrementally on device).
+
+    python benchmarks/bench_ivf_10m.py --dtypes int4 int8 [--n 10000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=10_000_000)
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--n-lists", type=int, default=8192)
+    p.add_argument("--nprobe", type=int, default=32)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--eval-queries", type=int, default=64)
+    p.add_argument("--dtypes", nargs="+", default=["int4", "int8"])
+    p.add_argument("--single", action="store_true")
+    args = p.parse_args()
+
+    if not args.single and len(args.dtypes) > 1:
+        # one codec per subprocess: HBM frees reliably only at process exit
+        import subprocess
+
+        results = {}
+        for dt in args.dtypes:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--single", "--dtypes", dt]
+            for k in ("n", "dim", "n_lists", "nprobe", "batch", "iters",
+                      "eval_queries"):
+                cmd += [f"--{k.replace('_', '-')}", str(getattr(args, k))]
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=14400)
+            sys.stderr.write(r.stderr[-3000:])
+            if r.returncode == 0 and r.stdout.strip():
+                out = json.loads(r.stdout.strip().splitlines()[-1])
+                results[dt] = out["detail"][dt]
+        best = results.get("int4") or next(iter(results.values()))
+        print(json.dumps({
+            "metric": f"ivf10m_qps_n{args.n}_d{args.dim}_nprobe{args.nprobe}",
+            "value": best["qps"],
+            "unit": "qps",
+            "detail": results,
+        }))
+        return
+
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from intel_extension_for_transformers_tpu.retrieval import IVFIndex
+    from intel_extension_for_transformers_tpu.retrieval.ivf import (
+        _ivf_search_coded,
+    )
+    from intel_extension_for_transformers_tpu.retrieval.synthetic import (
+        clustered_embeddings,
+    )
+
+    dt = args.dtypes[0]
+    NQ = args.eval_queries
+    CHUNK = min(1_000_000, args.n)
+
+    # queries + the training sample come from the same distribution/seed
+    first, queries = clustered_embeddings(
+        CHUNK, dim=args.dim, n_queries=max(NQ, args.batch),
+        n_topics=256, seed=0,
+    )
+    qd = jnp.asarray(queries[:NQ])
+
+    # pre-size list capacity from the training-sample fill so 10M adds never
+    # trigger a growth re-layout (old+new storage alive at once would spike
+    # HBM past the chip at int8 scale)
+    idx = IVFIndex(dim=args.dim, n_lists=args.n_lists, dtype=dt,
+                   list_cap=16, group_size=32)
+    t0 = time.time()
+    train_n = min(200_000, len(first))
+    idx.train(first[:train_n], iters=6,
+              balance_ratio=1.5, balance_rounds=5)
+    assign = np.asarray(jnp.argmax(
+        jnp.asarray(first[:train_n]) @ idx.centroids.T, axis=1))
+    max_fill = np.bincount(assign, minlength=args.n_lists).max()
+    cap = int(np.ceil(max_fill / train_n * args.n * 1.2))
+    idx._grow_lists(cap)
+    print(f"[{dt}] trained; projected list cap {cap} "
+          f"(avg {args.n // args.n_lists})", file=sys.stderr)
+
+    # top-10 oracle accumulates per chunk on device: scores (NQ, chunk)
+    @jax.jit
+    def chunk_topk(qd, chunk):
+        s = qd @ chunk.T  # (NQ, M) f32
+        sc, ii = jax.lax.top_k(s, 10)
+        return sc, ii
+
+    best_s = np.full((NQ, 10), -1e9, np.float32)
+    best_i = np.zeros((NQ, 10), np.int64)
+
+    added = 0
+    rng_seed = 1
+    while added < args.n:
+        if added == 0:
+            chunk = first
+        else:
+            chunk, _ = clustered_embeddings(
+                min(CHUNK, args.n - added), dim=args.dim, n_queries=1,
+                n_topics=256, seed=rng_seed,
+            )
+            rng_seed += 1
+        chunk = chunk[: args.n - added]
+        cd = jnp.asarray(chunk)
+        sc, ii = chunk_topk(qd, cd)
+        sc, ii = np.asarray(sc), np.asarray(ii).astype(np.int64) + added
+        merged_s = np.concatenate([best_s, sc], axis=1)
+        merged_i = np.concatenate([best_i, ii], axis=1)
+        ordr = np.argsort(-merged_s, axis=1)[:, :10]
+        best_s = np.take_along_axis(merged_s, ordr, axis=1)
+        best_i = np.take_along_axis(merged_i, ordr, axis=1)
+        for j in range(0, len(chunk), 100_000):
+            idx.add(chunk[j:j + 100_000])
+        added += len(chunk)
+        print(f"[{dt}] added {added:,}/{args.n:,} "
+              f"(cap {idx._list_cap}, {time.time()-t0:.0f}s)",
+              file=sys.stderr)
+    build_s = time.time() - t0
+
+    # recall in small query batches (the bounded gather is (B, nprobe·L, D))
+    hits = 0
+    for j in range(0, NQ, args.batch):
+        _, ids = idx.search(qd[j:j + args.batch], k=10, nprobe=args.nprobe)
+        ids = np.asarray(ids)
+        for r, row in enumerate(ids):
+            hits += len(set(row.tolist()) & set(best_i[j + r].tolist()))
+    rec = hits / (NQ * 10)
+
+    # fused-loop QPS (arguments, not closure constants — relay 413 rule)
+    q = jnp.asarray(queries[: args.batch])
+    kwargs = dict(k=10, nprobe=args.nprobe, list_cap=idx._list_cap)
+
+    @jax.jit
+    def loop(qq, cent, storage, scales, row_ids):
+        def body(i, acc):
+            qi = qq + 0 * i.astype(qq.dtype)
+            _, ii = _ivf_search_coded(
+                qi, cent, storage, scales, row_ids,
+                group_size=idx.group_size, bits=idx._bits, **kwargs,
+            )
+            return acc + ii[0, 0]
+
+        return jax.lax.fori_loop(0, args.iters, body, jnp.int32(0))
+
+    operands = (q, idx.centroids, idx._storage, idx._scales, idx._row_ids)
+    int(loop(*operands))
+    t0 = time.perf_counter()
+    int(loop(*operands))
+    dt_s = time.perf_counter() - t0
+    qps = args.batch * args.iters / dt_s
+    detail = {dt: {
+        "qps": round(qps, 1), "recall@10": round(float(rec), 4),
+        "memory_gb": round(idx.memory_bytes() / 1e9, 2),
+        "build_s": round(build_s, 1),
+        "list_cap": idx._list_cap,
+    }}
+    print(f"[{dt}] {detail[dt]}", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"ivf10m_qps_n{args.n}_d{args.dim}_nprobe{args.nprobe}",
+        "value": detail[dt]["qps"],
+        "unit": "qps",
+        "detail": detail,
+    }))
+
+
+if __name__ == "__main__":
+    main()

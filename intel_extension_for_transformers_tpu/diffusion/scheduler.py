@@ -72,15 +72,18 @@ class DDIMScheduler:
 
 @dataclass(frozen=True)
 class PNDMScheduler:
-    """PNDM (pseudo linear multistep, the SD1.x default).
+    """PNDM with skip_prk_steps (PLMS — the SD1.x default), diffusers-exact.
 
-    The first step seeds the eps history with a plain DDIM update. This is
-    an approximation of diffusers' skip_prk_steps=True PLMS variant, whose
-    first step is a Heun-style two-evaluation corrector — so the earliest
-    steps deviate slightly from the SD1.5 reference scheduler before the
-    multistep history takes over. Later steps use the same 2nd/3rd/4th-order
-    Adams–Bashforth combination of stored eps. Functional: the eps history
-    is part of the loop carry, shape (4, ...) — static for `lax.fori_loop`.
+    The first sampling interval uses the Heun two-evaluation corrector
+    (diffusers scheduling_pndm.py step_plms counter 0/1): call 0 takes a
+    plain eps step to an intermediate sample, call 1 re-evaluates eps THERE
+    and redoes the same interval from the stashed start sample with the
+    trapezoid average (e0+e1)/2 — so `timesteps()` has n+1 entries with the
+    second one duplicated, and the Heun evaluation never enters the
+    multistep history. Later steps use the 2nd/3rd/4th-order
+    Adams–Bashforth combination of stored eps. Functional: the eps history,
+    call counter, and the stashed first-interval (sample, t) are all loop
+    carry — static shapes for `lax.fori_loop`.
     """
 
     num_train_timesteps: int = 1000
@@ -96,29 +99,58 @@ class PNDMScheduler:
         ac = np.cumprod(1.0 - betas).astype(np.float32)
         object.__setattr__(self, "alphas_cumprod", jnp.asarray(ac))
 
-    timesteps = DDIMScheduler.timesteps
     add_noise = DDIMScheduler.add_noise
 
-    def init_history(self, shape, dtype=jnp.float32):
-        return jnp.zeros((4,) + tuple(shape), dtype), jnp.int32(0)
+    def timesteps(self, num_inference_steps: int) -> jnp.ndarray:
+        """Descending model-eval timesteps, SECOND entry duplicated for the
+        Heun corrector pass → length num_inference_steps + 1 (diffusers
+        plms_timesteps with skip_prk_steps=True)."""
+        step = self.num_train_timesteps // num_inference_steps
+        asc = (np.arange(num_inference_steps) * step).round().astype(np.int32)
+        plms = np.concatenate([asc[:-1], asc[-2:-1], asc[-1:]])[::-1]
+        return jnp.asarray(plms.copy())
 
-    def step(self, eps, t, t_prev, sample, history, count):
-        """→ (prev_sample, history, count). Multistep eps blending."""
-        hist = jnp.concatenate([history[1:], eps[None]], axis=0)
+    def init_history(self, shape, dtype=jnp.float32):
+        """→ (eps history (4, ...), call count, stashed sample, stashed t)."""
+        return (
+            jnp.zeros((4,) + tuple(shape), dtype),
+            jnp.int32(0),
+            jnp.zeros(tuple(shape), dtype),
+            jnp.int32(0),
+        )
+
+    def step(self, eps, t, t_prev, sample, history, count, stash, stash_t):
+        """→ (prev_sample, history, count, stash, stash_t).
+
+        Drive with consecutive pairs of `timesteps()` (t_prev = next entry,
+        -1 past the end); at the duplicated entry the pair is (t1, t1) and
+        the update is applied over the stashed (t0 → t1) interval.
+        """
+        # the Heun evaluation (count==1) is transient: it never enters ets
+        pushed = jnp.concatenate([history[1:], eps[None]], axis=0)
+        hist = jnp.where(count == 1, history, pushed)
         e1, e2, e3, e4 = hist[3], hist[2], hist[1], hist[0]
+        heun = (eps + hist[3]) / 2  # hist[3] = e0 when count == 1
         blend2 = (3 * e1 - e2) / 2
         blend3 = (23 * e1 - 16 * e2 + 5 * e3) / 12
         blend4 = (55 * e1 - 59 * e2 + 37 * e3 - 9 * e4) / 24
         eps_used = jnp.where(
             count == 0, e1,
-            jnp.where(count == 1, blend2, jnp.where(count == 2, blend3, blend4)),
+            jnp.where(count == 1, heun,
+                      jnp.where(count == 2, blend2,
+                                jnp.where(count == 3, blend3, blend4))),
         )
-        a_t = self.alphas_cumprod[t]
+        # count==1 redoes the FIRST interval from the stashed start sample
+        base = jnp.where(count == 1, stash, sample)
+        t_start = jnp.where(count == 1, stash_t, t)
+        a_t = self.alphas_cumprod[t_start]
         a_prev = jnp.where(
             t_prev >= 0, self.alphas_cumprod[jnp.maximum(t_prev, 0)], 1.0
         )
         # the PNDM phi update (Eq. 11, Liu et al.): identical algebra to DDIM
         # but applied with the blended eps
-        x0 = (sample - jnp.sqrt(1.0 - a_t) * eps_used) / jnp.sqrt(a_t)
+        x0 = (base - jnp.sqrt(1.0 - a_t) * eps_used) / jnp.sqrt(a_t)
         prev = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps_used
-        return prev, hist, count + 1
+        stash = jnp.where(count == 0, sample, stash)
+        stash_t = jnp.where(count == 0, t, stash_t)
+        return prev, hist, count + 1, stash, stash_t

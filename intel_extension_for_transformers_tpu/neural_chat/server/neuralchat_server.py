@@ -355,6 +355,85 @@ class ChatApp:
         with self._gen_lock:
             return self.chatbot.predict(query, cfg)
 
+    # ------------------- KServe v2 predict protocol (Triton analogue) ------
+    # The reference ships a Triton python-backend text-generation model
+    # (reference: neural_chat/serving/triton/text_generation/model.py:1 —
+    # INPUT0 BYTES prompt → OUTPUT0 BYTES completion, batching delegated to
+    # Triton). No Triton runtime exists here, so the server speaks Triton's
+    # wire protocol itself: the KServe v2 predict API under /v2. Batched
+    # inputs decode CONCURRENTLY in the continuous-batching slot pool — the
+    # native stand-in for Triton dynamic batching.
+
+    def handle_kserve_server_meta(self):
+        return 200, {"name": "neuralchat", "version": "2",
+                     "extensions": ["model_repository"]}
+
+    def handle_kserve_model_meta(self, name: str):
+        if name != self.model_name:
+            return 404, ErrorResponse(f"unknown model {name!r}").to_body()
+        return 200, {
+            "name": name,
+            "versions": ["1"],
+            "platform": "neuralchat_python",
+            "inputs": [
+                {"name": "INPUT0", "datatype": "BYTES", "shape": [-1]}
+            ],
+            "outputs": [
+                {"name": "OUTPUT0", "datatype": "BYTES", "shape": [-1]}
+            ],
+        }
+
+    def handle_kserve_infer(self, name: str, body: dict):
+        if name != self.model_name:
+            return 404, ErrorResponse(f"unknown model {name!r}").to_body()
+        texts = None
+        for t in (body or {}).get("inputs") or []:
+            if t.get("name") in ("INPUT0", "text_input") and \
+                    t.get("datatype") == "BYTES":
+                texts = [str(x) for x in t.get("data", [])]
+        if not texts:
+            return 400, ErrorResponse(
+                "expected a BYTES input named INPUT0/text_input"
+            ).to_body()
+
+        class _P:  # parameters → the OpenAI-ish overlay shape
+            pass
+
+        params = (body or {}).get("parameters") or {}
+        req = _P()
+        for k in ("max_tokens", "temperature", "top_p", "top_k",
+                  "repetition_penalty", "seed"):
+            setattr(req, k, params.get(k))
+        cfg = _merge_generation_config(self.chatbot.generation_config, req)
+
+        results: list = [None] * len(texts)
+        if self.engine is not None and len(texts) > 1:
+            # batch → concurrent slots (the dynamic-batching analogue)
+            threads = []
+            for i, q in enumerate(texts):
+                def work(i=i, q=q):
+                    results[i] = self._gen_text(q, cfg)
+
+                th = threading.Thread(target=work, daemon=True)
+                th.start()
+                threads.append(th)
+            for th in threads:
+                th.join()
+        else:
+            for i, q in enumerate(texts):
+                results[i] = self._gen_text(q, cfg)
+        return 200, {
+            "model_name": name,
+            "model_version": "1",
+            "id": (body or {}).get("id", ""),
+            "outputs": [{
+                "name": "OUTPUT0",
+                "datatype": "BYTES",
+                "shape": [len(results)],
+                "data": results,
+            }],
+        }
+
     def handle_code_generation(self, body: dict, chat: bool = False):
         """POST /v1/code_generation | /v1/code_chat (reference:
         restful/codegen_api.py — the codegen task router wraps the resident
@@ -539,6 +618,20 @@ class ChatApp:
             )
 
             return 200, ("html", SIDE_BY_SIDE_HTML)
+        if path == "/v2" and method == "GET":
+            return self.handle_kserve_server_meta()
+        if path.startswith("/v2/health/") and method == "GET":
+            return 200, {"live": True} if path.endswith("live") else {"ready": True}
+        if path.startswith("/v2/models/"):
+            rest = path[len("/v2/models/"):]
+            if method == "POST" and rest.endswith("/infer"):
+                return self.handle_kserve_infer(rest[: -len("/infer")], body)
+            if method == "GET" and rest.endswith("/ready"):
+                name = rest[: -len("/ready")]
+                ok = name == self.model_name
+                return (200 if ok else 404), {"name": name, "ready": ok}
+            if method == "GET":
+                return self.handle_kserve_model_meta(rest)
         if method == "GET" and path == "/v1/stats":
             # serving counters (slot utilization, tokens, steps)
             stats = {"engine": None}

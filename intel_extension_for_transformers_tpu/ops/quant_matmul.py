@@ -547,6 +547,21 @@ def _pallas_woq(x, qt: QuantizedTensor, out_dtype, interpret):
     N = qt.N
     compute_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
 
+    # Compute-bound regime (encoder batches / long prefill): decode the
+    # weight ONCE per program into the MXU dtype and run a plain XLA matmul.
+    # The Pallas kernel re-decodes each weight tile for every M block — the
+    # right trade at decode shapes where HBM weight traffic dominates, pure
+    # VPU waste once arithmetic intensity flips (~M≥1k the matmul is MXU
+    # bound either way, and XLA hoists the loop-invariant dequant out of
+    # surrounding batch loops entirely).
+    if M >= 1024:
+        w = dequantize(qt, dtype=compute_dtype)
+        out = jnp.einsum(
+            "mk,kn->mn", x2.astype(compute_dtype), w,
+            preferred_element_type=compute_dtype,
+        )
+        return out.astype(out_dtype).reshape(*batch_shape, N)
+
     # f32 scale rows: bf16 refs have (16, 128) min tiles, which breaks the
     # odd-offset scale slices small models produce
     data, scales = qt.data, qt.scales.astype(jnp.float32)

@@ -263,12 +263,16 @@ class IVFIndex:
     def __len__(self):
         return self.size
 
-    def train(self, sample, iters: int = 10, seed: int = 0) -> None:
-        """k-means coarse quantizer on a representative sample."""
+    def train(self, sample, iters: int = 10, seed: int = 0, **kmeans_kw) -> None:
+        """k-means coarse quantizer on a representative sample. Extra kwargs
+        reach `_kmeans.kmeans` — memory-bounded builds tighten
+        balance_ratio/balance_rounds so list_cap (and the C×cap block table)
+        stays near the mean fill."""
         x = jnp.asarray(sample, jnp.float32)
         if self.metric == "cosine":
             x = _l2_normalize(x)
-        self.centroids = kmeans(x, self.n_lists, iters=iters, seed=seed)
+        self.centroids = kmeans(x, self.n_lists, iters=iters, seed=seed,
+                                **kmeans_kw)
         self.n_lists = self.centroids.shape[0]
         self._alloc(self._list_cap)
 

@@ -142,11 +142,31 @@ def benchmark_generation(
 
     logits, cache0 = prefill(params, ids)
     float(logits[0, 0])  # scalar readback: block_until_ready can lie via relays
-    prefill_res = benchmark_callable(
-        lambda: float(prefill(params, ids)[0][0, 0]),
-        warmup=cfg.warmup,
-        iteration=cfg.iteration,
-        items_per_call=B * T,
+
+    # first-token latency: R prefills fused in ONE program so the ~30 ms
+    # relay dispatch overhead amortizes away (matters at short prompts);
+    # ids perturbation per iteration defeats loop-invariant hoisting
+    R = max(2, min(32, 2048 // max(T, 1)))
+
+    @jax.jit
+    def prefill_rep(params, ids):
+        def body(i, acc):
+            ids_i = ids.at[0, 0].set(
+                (ids[0, 0] + i) % model_config.vocab_size
+            )
+            cache = init_kv_cache(model_config, B, S)
+            logits, _ = llama_apply(params, model_config, ids_i, cache)
+            return acc + logits[0, -1, 0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
+
+    float(prefill_rep(params, ids))  # compile + warm
+    t0 = time.perf_counter()
+    float(prefill_rep(params, ids))  # scalar readback drains the chain
+    per_prefill = (time.perf_counter() - t0) / R * 1e3
+    prefill_res = BenchmarkResult(
+        latency_ms=per_prefill, p50_ms=per_prefill, p90_ms=per_prefill,
+        p99_ms=per_prefill, throughput=B * T / (per_prefill / 1e3),
         unit="prefill tokens/s",
     )
 

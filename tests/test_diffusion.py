@@ -51,13 +51,48 @@ def test_pndm_recovers_x0_with_exact_noise():
     x0 = np.random.default_rng(3).normal(size=(1, 4, 4, 4)).astype(np.float32)
     noise = np.random.default_rng(4).normal(size=x0.shape).astype(np.float32)
     ts = s.timesteps(12)
+    n = int(ts.shape[0])
+    assert n == 13  # n+1 model evals: the Heun pass duplicates entry 1
+    assert int(ts[1]) == int(ts[2])
     lat = s.add_noise(jnp.asarray(x0), jnp.asarray(noise), ts[0])
-    hist, count = s.init_history(x0.shape)
-    for i in range(12):
-        tp = ts[i + 1] if i + 1 < 12 else -1
-        lat, hist, count = s.step(jnp.asarray(noise), ts[i], tp, lat, hist, count)
-    # multistep blending of a CONSTANT eps equals the constant → exact
+    carry = s.init_history(x0.shape)
+    for i in range(n):
+        tp = ts[i + 1] if i + 1 < n else -1
+        lat, *carry = s.step(jnp.asarray(noise), ts[i], tp, lat, *carry)
+    # multistep/Heun blending of a CONSTANT eps equals the constant → exact
     assert float(np.abs(np.asarray(lat) - x0).max()) < 1e-3
+
+
+def test_pndm_heun_first_interval_matches_manual():
+    """The first two calls implement diffusers' skip_prk_steps PLMS starter:
+    call 0 = plain step t0→t1, call 1 = SAME interval redone from the
+    stashed x_t0 with eps averaged over both evaluations."""
+    s = PNDMScheduler()
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 2, 2, 4)).astype(np.float32))
+    e0 = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    e1 = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    ts = s.timesteps(10)
+    t0, t1 = ts[0], ts[1]
+
+    def phi(sample, t, tp, eps):
+        a_t = s.alphas_cumprod[t]
+        a_p = s.alphas_cumprod[tp]
+        x0 = (sample - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+        return jnp.sqrt(a_p) * x0 + jnp.sqrt(1 - a_p) * eps
+
+    carry = s.init_history(x.shape)
+    inter, *carry = s.step(e0, t0, t1, x, *carry)
+    np.testing.assert_allclose(np.asarray(inter), np.asarray(phi(x, t0, t1, e0)),
+                               rtol=1e-5)
+    # second call: model would be evaluated at (inter, t1) → e1; the pair
+    # from the duplicated schedule is (t1, t1)
+    out, *carry = s.step(e1, t1, ts[2], inter, *carry)
+    expect = phi(x, t0, t1, (e0 + e1) / 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-5)
+    # the Heun evaluation never entered the multistep history
+    hist = np.asarray(carry[0])
+    np.testing.assert_allclose(hist[3], np.asarray(e0), rtol=1e-6)
 
 
 def test_alphas_cumprod_schedule_values():
