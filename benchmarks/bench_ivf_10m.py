@@ -28,9 +28,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=10_000_000)
     p.add_argument("--dim", type=int, default=768)
-    p.add_argument("--n-lists", type=int, default=8192)
+    p.add_argument("--n-lists", type=int, default=4096)
     p.add_argument("--nprobe", type=int, default=32)
-    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--eval-queries", type=int, default=64)
     p.add_argument("--dtypes", nargs="+", default=["int4", "int8"])
@@ -98,14 +98,14 @@ def main():
     t0 = time.time()
     train_n = min(200_000, len(first))
     idx.train(first[:train_n], iters=6,
-              balance_ratio=1.5, balance_rounds=5)
+              balance_ratio=1.3, balance_rounds=6)
     assign = np.asarray(jnp.argmax(
         jnp.asarray(first[:train_n]) @ idx.centroids.T, axis=1))
     max_fill = np.bincount(assign, minlength=args.n_lists).max()
-    cap = int(np.ceil(max_fill / train_n * args.n * 1.2))
+    cap = int(np.ceil(max_fill / train_n * args.n * 1.1))
     idx._grow_lists(cap)
     print(f"[{dt}] trained; projected list cap {cap} "
-          f"(avg {args.n // args.n_lists})", file=sys.stderr)
+          f"(avg {args.n // args.n_lists})", file=sys.stderr, flush=True)
 
     # top-10 oracle accumulates per chunk on device: scores (NQ, chunk)
     @jax.jit
@@ -142,7 +142,7 @@ def main():
         added += len(chunk)
         print(f"[{dt}] added {added:,}/{args.n:,} "
               f"(cap {idx._list_cap}, {time.time()-t0:.0f}s)",
-              file=sys.stderr)
+              file=sys.stderr, flush=True)
     build_s = time.time() - t0
 
     # recall in small query batches (the bounded gather is (B, nprobe·L, D))
@@ -182,7 +182,7 @@ def main():
         "build_s": round(build_s, 1),
         "list_cap": idx._list_cap,
     }}
-    print(f"[{dt}] {detail[dt]}", file=sys.stderr)
+    print(f"[{dt}] {detail[dt]}", file=sys.stderr, flush=True)
     print(json.dumps({
         "metric": f"ivf10m_qps_n{args.n}_d{args.dim}_nprobe{args.nprobe}",
         "value": detail[dt]["qps"],
