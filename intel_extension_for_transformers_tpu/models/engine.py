@@ -535,6 +535,35 @@ def _compact_accum(accum, slot, keep_idx):
     return accum.at[slot].set(jnp.zeros_like(accum[0]).at[:K].set(row))
 
 
+@partial(jax.jit, static_argnames=("rope_spec",))
+def _compact_single(cache, keep_idx, rope_spec):
+    """Compact a single-slot (B=1, scalar-length) cache — the admission
+    cache of a prompt LONGER than max_len (long-document ingestion under a
+    kv_policy). Wraps the slot into the engine layout and reuses
+    _compact_cache_slot."""
+    wrap = lambda lst: None if lst is None else [c[None] for c in lst]
+    bc = replace(
+        cache,
+        k=wrap(cache.k), v=wrap(cache.v),
+        k_scale=wrap(cache.k_scale), v_scale=wrap(cache.v_scale),
+        length=cache.length[None],
+    )
+    out = _compact_cache_slot(bc, jnp.int32(0), keep_idx, rope_spec)
+    unwrap = lambda lst: None if lst is None else [c[0] for c in lst]
+    return replace(
+        out,
+        k=unwrap(out.k), v=unwrap(out.v),
+        k_scale=unwrap(out.k_scale), v_scale=unwrap(out.v_scale),
+        length=out.length[0],
+    )
+
+
+@jax.jit
+def _compact_mass(mass, keep_idx):
+    K = keep_idx.shape[0]
+    return jnp.zeros_like(mass).at[:K].set(jnp.take(mass, keep_idx))
+
+
 # ------------------------------ the engine ------------------------------
 
 
@@ -634,6 +663,9 @@ class DecodeEngine:
                     f"kv_policy keep size {keep} + step width {step_w} "
                     f"exceeds max_len {max_len}"
                 )
+            # long-prompt admission compacts to `keep` rows between chunks;
+            # a chunk must still fit afterwards
+            self.prefill_chunk = min(self.prefill_chunk, max_len - keep)
         self._with_mass = kv_policy == "h2o"
 
         def batched_cache(cfg):
@@ -704,7 +736,9 @@ class DecodeEngine:
         """Enqueue a request; its `tokens()` iterator starts yielding as soon
         as a slot frees up. Thread-safe."""
         request.prompt_ids = np.asarray(request.prompt_ids, np.int32).reshape(-1)
-        if len(request.prompt_ids) >= self.max_len:
+        if self.kv_policy is None and len(request.prompt_ids) >= self.max_len:
+            # with a kv_policy the admission compacts BETWEEN prefill chunks,
+            # so prompts of any length stream in (long-document ingestion)
             raise ValueError(
                 f"prompt length {len(request.prompt_ids)} ≥ max_len {self.max_len}"
             )
@@ -760,6 +794,7 @@ class DecodeEngine:
             "seen": jnp.zeros((self.config.vocab_size,), jnp.bool_),
             "mass": jnp.zeros((self.max_len,), jnp.float32),
             "last": None,
+            "len": 0,  # true tokens prefilled so far (compaction-aware)
         }
         if self.pp_state is not None:
             # pp mode prefills IN PLACE into the pool cache; the reused slot
@@ -779,6 +814,29 @@ class DecodeEngine:
             self._adm = None
             return
         ci = adm["ci"]
+        C = adm["chunks"][ci].shape[1]
+        if (
+            self.kv_policy is not None
+            and adm["cache"] is not None
+            and adm["len"] + C > self.max_len
+        ):
+            # long-prompt ingestion: evict BETWEEN prefill chunks so prompts
+            # of any length stream through a bounded cache
+            keep = self._keep_indices(
+                adm["len"], adm["mass"] if self._with_mass else None
+            )
+            keep_idx = jnp.asarray(keep.astype(np.int32))
+            adm["cache"] = _compact_single(
+                adm["cache"], keep_idx, _rope_spec(self.config)
+            )
+            if adm["dcache"] is not None:
+                adm["dcache"] = _compact_single(
+                    adm["dcache"], keep_idx, _rope_spec(self.draft_config)
+                )
+            if self._with_mass:
+                adm["mass"] = _compact_mass(adm["mass"], keep_idx)
+            adm["len"] = len(keep)
+            self._compactions += 1
         ids = jnp.asarray(adm["chunks"][ci])
         nv = jnp.int32(adm["n_valids"][ci])
         if self.pp_state is not None:
@@ -797,6 +855,7 @@ class DecodeEngine:
                     adm["seen"], adm["mass"], with_mass=False,
                 )
         self._chunks += 1
+        adm["len"] += adm["n_valids"][ci]
         adm["ci"] = ci + 1
         if adm["ci"] < len(adm["chunks"]):
             return
@@ -855,7 +914,7 @@ class DecodeEngine:
         self._tokens = self._tokens.at[slot].set(tok)
         self._slots[slot] = req
         self._emitted[slot] = 0
-        self._host_len[slot] = len(req.prompt_ids)
+        self._host_len[slot] = adm["len"]
         # the prefill already produced the first token — emit it, advance the
         # host guide mirror, then sync the slot's device GuideState once
         self._emit(slot, int(tok))
@@ -947,6 +1006,21 @@ class DecodeEngine:
     def _step_width(self) -> int:
         return (self.gamma + 1) if self._draft_cache is not None else 1
 
+    def _keep_indices(self, old_len: int, accum_row=None) -> np.ndarray:
+        """Policy-selected kept rows (ascending) for a cache of old_len."""
+        recent = min(self.kv_recent, old_len)
+        if self.kv_policy == "sink":
+            sink = min(self.kv_sink, old_len - recent)
+            return np.concatenate(
+                [np.arange(sink), np.arange(old_len - recent, old_len)]
+            )
+        acc = np.asarray(accum_row)[:old_len]
+        rs = old_len - recent
+        heavy = min(self.kv_heavy, rs)
+        hv = (np.sort(np.argpartition(acc[:rs], -heavy)[-heavy:])
+              if heavy else np.empty((0,), np.int64))
+        return np.concatenate([hv, np.arange(rs, old_len)])
+
     def _maybe_compact(self) -> None:
         """Compact any active slot whose next step would overflow the cache
         (kv_policy only). Host selects the kept rows; the device compaction
@@ -960,19 +1034,10 @@ class DecodeEngine:
             if self._host_len[slot] + w <= self.max_len:
                 continue
             old_len = int(self._host_len[slot])
-            recent = min(self.kv_recent, old_len)
-            if self.kv_policy == "sink":
-                sink = min(self.kv_sink, old_len - recent)
-                keep = np.concatenate(
-                    [np.arange(sink), np.arange(old_len - recent, old_len)]
-                )
-            else:  # h2o: heavy hitters by accumulated attention mass + recent
-                acc = np.asarray(self._accum[slot])[:old_len]
-                rs = old_len - recent
-                heavy = min(self.kv_heavy, rs)
-                cand = acc[:rs]
-                hv = np.sort(np.argpartition(cand, -heavy)[-heavy:]) if heavy else np.empty((0,), np.int64)
-                keep = np.concatenate([hv, np.arange(rs, old_len)])
+            keep = self._keep_indices(
+                old_len,
+                self._accum[slot] if self._with_mass else None,
+            )
             keep_idx = jnp.asarray(keep.astype(np.int32))
             spec = _rope_spec(self.config)
             self._cache = _compact_cache_slot(

@@ -294,3 +294,40 @@ def test_guided_choice_device_state_growth(tiny):
         assert eng._guide.seqs.shape[2] >= 6
     finally:
         eng.stop()
+
+
+def test_long_prompt_ingestion_under_policy(tiny):
+    """With a kv_policy, prompts LONGER than max_len stream in: admission
+    compacts between prefill chunks (long-document ingestion — the
+    StreamingLLM input story; without a policy such prompts are rejected)."""
+    params, config = tiny
+    long_prompt = (np.arange(1, 201, dtype=np.int32) * 3) % 250  # 200 ≫ 64
+    eng = DecodeEngine(
+        params, config, max_slots=2, max_len=64, prefill_chunk=16,
+        kv_policy="sink", kv_sink=4, kv_recent=24,
+    ).start()
+    try:
+        out = eng.generate(long_prompt, max_new_tokens=20)
+        assert len(out) == 20
+        assert eng._compactions >= 3  # several mid-admission evictions
+        assert int(eng._host_len[0]) <= 64
+        out2 = eng.generate(long_prompt, max_new_tokens=20)
+        assert out == out2  # deterministic
+    finally:
+        eng.stop()
+
+    # h2o policy ingests long prompts too (mass compacts alongside)
+    eng = DecodeEngine(
+        params, config, max_slots=2, max_len=64, prefill_chunk=16,
+        kv_policy="h2o", kv_heavy=16, kv_recent=16,
+    ).start()
+    try:
+        out = eng.generate(long_prompt, max_new_tokens=12)
+        assert len(out) == 12 and eng._compactions >= 3
+    finally:
+        eng.stop()
+
+    # without a policy the old rejection stands
+    eng = DecodeEngine(params, config, max_slots=2, max_len=64)
+    with pytest.raises(ValueError):
+        eng.submit(EngineRequest(long_prompt))
