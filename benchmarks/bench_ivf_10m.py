@@ -90,21 +90,18 @@ def main():
     )
     qd = jnp.asarray(queries[:NQ])
 
-    # pre-size list capacity from the training-sample fill so 10M adds never
-    # trigger a growth re-layout (old+new storage alive at once would spike
-    # HBM past the chip at int8 scale)
+    # bounded-memory build: hard list cap at 1.5× the mean + the 4-way
+    # spill cascade (retrieval/ivf.py _plan_insert_capped) — memory is
+    # C·cap by construction, no growth re-layout can spike HBM; measured
+    # drop rate ~1% on clustered data at this cap
+    cap = int(np.ceil(1.5 * args.n / args.n_lists))
     idx = IVFIndex(dim=args.dim, n_lists=args.n_lists, dtype=dt,
-                   list_cap=16, group_size=32)
+                   list_cap=cap, group_size=32, spill=True)
     t0 = time.time()
     train_n = min(200_000, len(first))
     idx.train(first[:train_n], iters=6,
-              balance_ratio=1.3, balance_rounds=6)
-    assign = np.asarray(jnp.argmax(
-        jnp.asarray(first[:train_n]) @ idx.centroids.T, axis=1))
-    max_fill = np.bincount(assign, minlength=args.n_lists).max()
-    cap = int(np.ceil(max_fill / train_n * args.n * 1.1))
-    idx._grow_lists(cap)
-    print(f"[{dt}] trained; projected list cap {cap} "
+              balance_ratio=1.3, balance_rounds=8)
+    print(f"[{dt}] trained; hard list cap {cap} "
           f"(avg {args.n // args.n_lists})", file=sys.stderr, flush=True)
 
     # top-10 oracle accumulates per chunk on device: scores (NQ, chunk)
@@ -181,6 +178,7 @@ def main():
         "memory_gb": round(idx.memory_bytes() / 1e9, 2),
         "build_s": round(build_s, 1),
         "list_cap": idx._list_cap,
+        "dropped": idx.dropped,
     }}
     print(f"[{dt}] {detail[dt]}", file=sys.stderr, flush=True)
     print(json.dumps({

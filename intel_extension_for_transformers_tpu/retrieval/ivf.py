@@ -51,6 +51,16 @@ def _l2_normalize(x, eps=1e-12):
 
 
 @jax.jit
+def _segment_rank(assign):
+    """Rank of each row among same-value rows (sort + first-position)."""
+    M = assign.shape[0]
+    order = jnp.argsort(assign)
+    sorted_a = jnp.take(assign, order)
+    first_pos = jnp.searchsorted(sorted_a, sorted_a, side="left")
+    rank_sorted = jnp.arange(M, dtype=jnp.int32) - first_pos.astype(jnp.int32)
+    return jnp.zeros((M,), jnp.int32).at[order].set(rank_sorted)
+
+
 def _plan_insert(vectors, centroids, fill):
     """Assign new rows to lists and compute their target slots.
 
@@ -58,18 +68,53 @@ def _plan_insert(vectors, centroids, fill):
     assigned list + rank of the row among same-list rows in this batch
     (computed by sort + segment-rank; all static shapes).
     """
-    M = vectors.shape[0]
     C = centroids.shape[0]
     assign = _nearest_centroid(vectors, centroids).astype(jnp.int32)  # (M,)
-    order = jnp.argsort(assign)
-    sorted_a = jnp.take(assign, order)
-    # rank within equal-assign segment: position - first position of segment
-    first_pos = jnp.searchsorted(sorted_a, sorted_a, side="left")
-    rank_sorted = jnp.arange(M, dtype=jnp.int32) - first_pos.astype(jnp.int32)
-    rank = jnp.zeros((M,), jnp.int32).at[order].set(rank_sorted)
-    slot = jnp.take(fill, assign) + rank
+    slot = jnp.take(fill, assign) + _segment_rank(assign)
     new_fill = fill + jnp.bincount(assign, length=C).astype(fill.dtype)
     return assign, slot, new_fill
+
+
+_SPILL_ROUNDS = 4
+
+
+@jax.jit
+def _plan_insert_capped(vectors, centroids, fill, cap):
+    """Capacity-BOUNDED assignment with a 4-candidate spill cascade.
+
+    The grow-on-overflow path re-layouts the whole block table (old + new
+    storage alive at once — a 2× HBM spike that kills 10M+ builds when
+    k-means skew inflates the max list). This variant never grows: a row
+    tries its 4 nearest lists in order and lands in the first one with
+    room (multi-probe search finds spilled rows in those lists); rows
+    turned away by all 4 are dropped (returned mask — callers count them).
+    Same L2 assignment metric as _nearest_centroid. Memory is C·cap by
+    construction.
+    """
+    M = vectors.shape[0]
+    C = centroids.shape[0]
+    d = (
+        jnp.sum(vectors**2, axis=1, keepdims=True)
+        - 2.0 * vectors @ centroids.T
+        + jnp.sum(centroids**2, axis=1)[None, :]
+    )
+    _, topk = jax.lax.top_k(-d, _SPILL_ROUNDS)  # (M, R)
+    assign = jnp.zeros((M,), jnp.int32)
+    slot = jnp.zeros((M,), jnp.int32)
+    placed = jnp.zeros((M,), bool)
+    fill_cur = fill
+    for r in range(_SPILL_ROUNDS):
+        cand = topk[:, r].astype(jnp.int32)
+        a = jnp.where(placed, C, cand)  # C = sentinel: row already placed
+        sl = jnp.take(fill_cur, jnp.clip(a, 0, C - 1)) + _segment_rank(a)
+        ok = (~placed) & (sl < cap)
+        assign = jnp.where(ok, cand, assign)
+        slot = jnp.where(ok, sl, slot)
+        fill_cur = fill_cur + jnp.bincount(
+            jnp.where(ok, cand, C), length=C + 1
+        )[:C].astype(fill.dtype)
+        placed = placed | ok
+    return assign, slot, fill_cur, ~placed
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
@@ -223,6 +268,7 @@ class IVFIndex:
         dtype: str = "bfloat16",
         list_cap: int = 64,
         group_size: int = 32,  # int4: residual scale granularity
+        spill: bool = False,  # hard-cap lists; overflow → 2nd centroid
     ):
         if metric not in ("ip", "cosine"):
             raise ValueError(f"unsupported metric {metric}")
@@ -240,6 +286,8 @@ class IVFIndex:
         self.dtype = dtype
         self.group_size = group_size
         self.size = 0
+        self.spill = bool(spill)
+        self.dropped = 0  # spill mode: rows whose top-2 lists were both full
         self.centroids: Optional[jax.Array] = None  # (C, D) f32
         self._list_cap = max(8, list_cap)
         self._storage: Optional[jax.Array] = None  # (C*L, D) | int4: (C*L, D/2)
@@ -320,16 +368,33 @@ class IVFIndex:
             raise ValueError(f"expected (M, {self.dim}) vectors, got {v.shape}")
         if self.metric == "cosine":
             v = _l2_normalize(v)
-        assign, slot, new_fill = _plan_insert(v, self.centroids, self._fill)
-        max_fill = int(jnp.max(new_fill))  # one scalar readback per add
-        if max_fill > self._list_cap:
-            # grow to need + 25% headroom (not doubling): skewed k-means
-            # lists at 100M scale would otherwise balloon the whole block
-            # table — the re-layout holds old+new storage alive at once
-            cap = max(int(max_fill * 1.25), self._list_cap + 8)
-            self._grow_lists(cap)
-        ids = np.arange(self.size, self.size + v.shape[0])
-        flat_pos = assign * self._list_cap + slot
+        if self.spill:
+            # bounded-memory insert: never grow; overflow rows go to their
+            # second-nearest list (multi-probe search finds them), doubly
+            # overflowing rows drop (counted). No HBM re-layout spike —
+            # the 10M+ single-chip build path (benchmarks/bench_ivf_10m.py)
+            assign, slot, new_fill, dropped = _plan_insert_capped(
+                v, self.centroids, self._fill, jnp.int32(self._list_cap)
+            )
+            self.dropped += int(jnp.sum(dropped))  # one readback per add
+            ids = np.arange(self.size, self.size + v.shape[0])
+            # dropped rows scatter out of bounds — XLA drops OOB updates
+            flat_pos = jnp.where(
+                dropped,
+                jnp.int32(self.n_lists * self._list_cap),
+                assign * self._list_cap + slot,
+            )
+        else:
+            assign, slot, new_fill = _plan_insert(v, self.centroids, self._fill)
+            max_fill = int(jnp.max(new_fill))  # one scalar readback per add
+            if max_fill > self._list_cap:
+                # grow to need + 25% headroom (not doubling): skewed k-means
+                # lists at 100M scale would otherwise balloon the whole block
+                # table — the re-layout holds old+new storage alive at once
+                cap = max(int(max_fill * 1.25), self._list_cap + 8)
+                self._grow_lists(cap)
+            ids = np.arange(self.size, self.size + v.shape[0])
+            flat_pos = assign * self._list_cap + slot
         if self.dtype in ("int4", "int8"):
             cent_rows = jnp.take(self.centroids, assign, axis=0)
             packed, scales = _encode_residual(

@@ -198,3 +198,41 @@ def test_bm25_ranking():
     r = BM25Retriever.from_documents(docs)
     out = r.get_relevant_documents("tensor machine learning", k=2)
     assert out[0]["content"].startswith("tensor processing")
+
+
+def test_ivf_spill_mode_bounded_memory():
+    """Capacity-bounded IVF: lists never grow; overflow rows spill to their
+    second-nearest centroid and stay findable; doubly-overflowing rows are
+    counted as dropped. The 10M+ single-chip build path (no re-layout HBM
+    spike)."""
+    import jax
+    import jax.numpy as jnp
+
+    from intel_extension_for_transformers_tpu.retrieval import (
+        IVFIndex,
+        clustered_embeddings,
+        exact_topk,
+        recall_at_k,
+    )
+
+    n, dim = 6000, 64
+    docs, queries = clustered_embeddings(n, dim=dim, n_queries=32,
+                                         n_topics=16, seed=3)
+    cap = int(1.5 * n / 64)
+    idx = IVFIndex(dim=dim, n_lists=64, dtype="bfloat16", list_cap=cap,
+                   spill=True)
+    # bounded-memory recipe: tight k-means balancing + the spill cascade
+    idx.train(docs[:2000], iters=5, balance_ratio=1.3, balance_rounds=8)
+    for i in range(0, n, 1000):
+        idx.add(docs[i:i + 1000])
+    # capacity is a hard bound: storage never re-laid out
+    assert idx._storage.shape[0] == 64 * cap
+    assert int(jnp.max(idx._fill)) <= cap
+    # spilled rows remain findable via multi-probe; drops are rare
+    assert idx.dropped < n * 0.02, idx.dropped
+    stored = int(jnp.sum(idx._row_ids >= 0))
+    assert stored == n - idx.dropped
+    oracle = exact_topk(docs, queries, 10)
+    _, ids = idx.search(queries, k=10, nprobe=16)
+    rec = recall_at_k(np.asarray(ids), oracle)
+    assert float(rec) > 0.85, float(rec)
