@@ -118,7 +118,7 @@ function inline(s) {
     .replace(/`([^`]+)`/g, "<code>$1</code>")
     .replace(/\*\*([^*]+)\*\*/g, "<b>$1</b>")
     .replace(/\*([^*]+)\*/g, "<i>$1</i>")
-    .replace(/\[([^\]]+)\]\((https?:[^)\s]+)\)/g,
+    .replace(/\[([^\]]+)\]\((https?:[^)\s"'<>]+)\)/g,
              '<a href="$2" target="_blank" rel="noopener">$1</a>');
 }
 function markdown(src) {
