@@ -186,3 +186,29 @@ def test_w32_grad_flows_to_x():
 
     gx = jax.grad(f)(x)
     assert gx.shape == x.shape and bool(jnp.all(jnp.isfinite(gx)))
+
+
+def test_large_m_compute_bound_path_parity():
+    """M ≥ 1024 routes to the decode-once + XLA matmul path (encoder /
+    prefill batches); parity with the f32 oracle must hold across dtypes
+    and schemes like the Pallas path."""
+    import jax
+
+    from intel_extension_for_transformers_tpu.ops.packing import (
+        quantize_groupwise,
+    )
+    from intel_extension_for_transformers_tpu.ops.quant_matmul import (
+        woq_matmul,
+        woq_matmul_ref,
+    )
+
+    K, N, M = 128, 96, 1200
+    w = jax.random.normal(jax.random.PRNGKey(0), (K, N))
+    x = jax.random.normal(jax.random.PRNGKey(1), (M, K), jnp.bfloat16)
+    for dt, scheme in [("int4", "sym"), ("int4", "asym"), ("int8", "sym"),
+                       ("nf4", "sym")]:
+        qt = quantize_groupwise(w, dt, scheme, 32)
+        got = np.asarray(woq_matmul(x, qt), np.float32)
+        ref = np.asarray(woq_matmul_ref(x, qt), np.float32)
+        scale = np.abs(ref).max() + 1e-6
+        assert np.abs(got - ref).max() / scale < 2e-2, (dt, scheme)
