@@ -153,6 +153,9 @@ def main():
     p.add_argument("--prompt-len", type=int, default=32)
     p.add_argument("--decode-tokens", type=int, default=32)
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--autotune", action="store_true",
+                   help="per-shape khalf/w32 layout tuning (ops/op_tuning) "
+                        "before timing; table persisted under ~/.cache")
     args = p.parse_args()
 
     import jax
@@ -187,6 +190,15 @@ def main():
     params = build_params(config, rng, group_size=gs)
     print(f"built int4 {args.arch} params in {time.time()-t0:.0f}s",
           file=sys.stderr)
+
+    if args.autotune:
+        from intel_extension_for_transformers_tpu.ops.op_tuning import tune_tree
+
+        t0 = time.time()
+        params, table = tune_tree(params, m=args.batch, verbose=True)
+        n_w32 = sum(1 for e in table.values() if e["layout"] == "w32")
+        print(f"autotuned layouts in {time.time()-t0:.0f}s "
+              f"({n_w32}/{len(table)} shapes -> w32)", file=sys.stderr)
 
     res = benchmark_generation(
         params,

@@ -931,6 +931,21 @@ class NeuralChatServerExecutor:
         for key in ("kv_policy", "kv_sink", "kv_recent", "kv_heavy"):
             if serving.get(key) is not None:
                 kv_kwargs[key] = serving[key]
+        if serving.get("autotune_layouts"):
+            # per-shape khalf/w32 WOQ dispatch table, measured once on the
+            # live chip and replayed from ~/.cache (reference analogue:
+            # executor TUNING mode, dispatcher.cpp:52-56)
+            from intel_extension_for_transformers_tpu.ops.op_tuning import (
+                tune_tree,
+            )
+
+            params, table = tune_tree(
+                params, m=int(serving.get("max_slots", 8)), verbose=True)
+            logger.info(
+                "autotuned WOQ layouts: %d/%d shapes -> w32",
+                sum(1 for e in table.values() if e["layout"] == "w32"),
+                len(table),
+            )
         self.engine = DecodeEngine(
             params,
             model_config,

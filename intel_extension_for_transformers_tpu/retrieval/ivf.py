@@ -183,14 +183,9 @@ def _decode_residual(codes, scales, group_size: int, bits: int):
     return r.reshape(*q.shape)
 
 
-@partial(
-    jax.jit, static_argnames=("k", "nprobe", "list_cap", "group_size", "bits")
-)
-def _ivf_search_coded(
+def _coded_chunk_body(
     q, cent, packed, scales, row_ids, *, k, nprobe, list_cap, group_size, bits
 ):
-    """Bounded-probe search over residual-coded storage: decode only the
-    probed candidates, score = q·centroid + q·residual."""
     B, D = q.shape
     C = cent.shape[0]
     csims = q.astype(jnp.float32) @ cent.T.astype(jnp.float32)  # (B, C)
@@ -218,6 +213,63 @@ def _ivf_search_coded(
     kk = min(k, sims.shape[1])
     best, sel = jax.lax.top_k(sims, kk)
     return best, jnp.take_along_axis(cand_ids, sel, axis=1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "nprobe", "list_cap", "group_size", "bits", "query_chunk"
+    ),
+)
+def _ivf_search_coded(
+    q, cent, packed, scales, row_ids, *, k, nprobe, list_cap, group_size,
+    bits, query_chunk=0,
+):
+    """Bounded-probe search over residual-coded storage: decode only the
+    probed candidates, score = q·centroid + q·residual.
+
+    query_chunk > 0 processes the batch in chunks of that many queries via
+    lax.map inside the one program, bounding the (chunk, nprobe·L, D)
+    candidate-decode temps — at 10M rows × nprobe 32 a full batch-8 decode
+    is ~10 GB of HLO temps and OOMs the 16 GB chip, while chunked search
+    fits with room to spare (callers auto-size it; see IVFIndex.search)."""
+    body = partial(
+        _coded_chunk_body, k=k, nprobe=nprobe, list_cap=list_cap,
+        group_size=group_size, bits=bits,
+    )
+    B = q.shape[0]
+    if query_chunk <= 0 or query_chunk >= B:
+        return body(q, cent, packed, scales, row_ids)
+    qc = query_chunk
+    pad = (-B) % qc
+    qp = jnp.pad(q, ((0, pad), (0, 0)))
+    qp = qp.reshape(-1, qc, q.shape[1])
+    best, ids = jax.lax.map(
+        lambda ch: body(ch, cent, packed, scales, row_ids), qp
+    )
+    best = best.reshape(-1, best.shape[-1])[:B]
+    ids = ids.reshape(-1, ids.shape[-1])[:B]
+    return best, ids
+
+
+# decode temps per query ≈ 16 × nprobe·list_cap·D bytes — measured, not
+# the naive 2×(bf16 decode): the nibble sign-extend goes through int32
+# intermediates (p/lo/hi/stack ≈ 12 B/elem before fusion) and XLA
+# double-buffers the gather+decode against the einsum. The 10M×768 int4
+# config (nprobe 32, cap 3663) measured 10.05 GB of HLO temps at B=8
+# ≈ 14 B/unit; 16 is that plus margin. Bound the batch footprint to ~6 GB
+# so temps + a multi-GB coded payload still fit 16 GB HBM; small/medium
+# configs (e.g. 300k×768, B=64 ≈ 5.5 GB) stay unchunked and keep their
+# measured throughput.
+_SEARCH_TEMP_BUDGET = int(
+    os.environ.get("ITX_IVF_SEARCH_BYTES", 6 * 1024**3)
+)
+
+
+def _auto_query_chunk(B, nprobe, list_cap, D):
+    per_query = 16 * nprobe * list_cap * D
+    qc = max(1, int(_SEARCH_TEMP_BUDGET / max(per_query, 1)))
+    return 0 if qc >= B else qc
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -429,6 +481,9 @@ class IVFIndex:
                 q, self.centroids, self._storage, self._scales, self._row_ids,
                 k=k, nprobe=nprobe, list_cap=self._list_cap,
                 group_size=self.group_size, bits=self._bits,
+                query_chunk=_auto_query_chunk(
+                    q.shape[0], nprobe, self._list_cap, self.dim
+                ),
             )
         else:
             scores, ids = _ivf_search(
