@@ -73,6 +73,7 @@ def main():
 
     from intel_extension_for_transformers_tpu.retrieval import IVFIndex
     from intel_extension_for_transformers_tpu.retrieval.ivf import (
+        _auto_query_chunk,
         _ivf_search_coded,
     )
     from intel_extension_for_transformers_tpu.retrieval.synthetic import (
@@ -153,7 +154,15 @@ def main():
 
     # fused-loop QPS (arguments, not closure constants — relay 413 rule)
     q = jnp.asarray(queries[: args.batch])
-    kwargs = dict(k=10, nprobe=args.nprobe, list_cap=idx._list_cap)
+    kwargs = dict(
+        k=10, nprobe=args.nprobe, list_cap=idx._list_cap,
+        # same decode-temp bound the IVFIndex.search path applies — the
+        # direct _ivf_search_coded call here previously OOM'd 16 GB HBM
+        # at batch 8 (10.05 GB of gather+decode temps)
+        query_chunk=_auto_query_chunk(
+            args.batch, args.nprobe, idx._list_cap, args.dim
+        ),
+    )
 
     @jax.jit
     def loop(qq, cent, storage, scales, row_ids):

@@ -42,22 +42,44 @@ def prefetch_to_device(
 
     q: "queue.Queue" = queue.Queue(maxsize=max(1, size))
     err: list = []
+    stop = threading.Event()
+
+    def put_or_stop(item) -> bool:
+        # bounded-wait put so an abandoned consumer (early break / GC of
+        # the generator) releases the worker instead of leaking a thread
+        # blocked in q.put holding device buffers for the process lifetime
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for b in batches:
-                q.put(jax.tree.map(put, b))
+                if not put_or_stop(jax.tree.map(put, b)):
+                    return
         except Exception as e:  # noqa: BLE001 — surface on the consumer side
             err.append(e)
         finally:
-            q.put(_END)
+            put_or_stop(_END)
 
     threading.Thread(target=worker, daemon=True).start()
 
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
