@@ -629,12 +629,15 @@ class DecodeEngine:
         self.pp_state = pp_state
         if pp_state is not None and (
             draft_config is not None or kv_policy is not None
-            or kv_dtype not in ("bfloat16", jnp.bfloat16)
         ):
             raise ValueError(
-                "pp serving composes with plain bf16 decode only (no draft, "
-                "no kv_policy, no int8 KV) in this version"
+                "pp serving composes with bf16 or int8-KV decode only "
+                "(no draft, no kv_policy) in this version"
             )
+        if pp_state is not None and kv_dtype not in (
+            "bfloat16", jnp.bfloat16, "int8", jnp.int8
+        ):
+            raise ValueError(f"pp serving: unsupported kv_dtype {kv_dtype!r}")
         self.max_slots = max_slots
         self.max_len = max_len
         # a chunk wider than the cache could not be scattered into it
@@ -678,7 +681,8 @@ class DecodeEngine:
             )
 
         if pp_state is not None:
-            self._cache = pp_init_cache(pp_state, config, max_slots, max_len)
+            self._cache = pp_init_cache(pp_state, config, max_slots, max_len,
+                                        dtype=kv_dtype)
             self._draft_cache = None
         else:
             self._cache = batched_cache(config)

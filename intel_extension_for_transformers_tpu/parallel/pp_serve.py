@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, replace
 from functools import partial
+from typing import Optional
 
 import numpy as np
 
@@ -39,19 +40,28 @@ from intel_extension_for_transformers_tpu.ops.layers import (
     rms_norm,
     rotary_embedding,
 )
+from intel_extension_for_transformers_tpu.models.llama import _kv_quantize
 
 
 @dataclass
 class PPCache:
-    """Stage-stacked KV cache: k/v (S, L/S, B, T, Hkv, D), length (B,)."""
+    """Stage-stacked KV cache: k/v (S, L/S, B, T, Hkv, D), length (B,).
+
+    With k_scale/v_scale set (pp_init_cache(dtype="int8")) the k/v buffers
+    hold int8 codes and the (S, L/S, B, T, Hkv) f32 scales dequantize them
+    on attend — the staged form of the single-device int8 cache
+    (models/llama.py KVCache/_kv_quantize), halving per-stage KV HBM."""
 
     k: jax.Array
     v: jax.Array
     length: jax.Array  # (B,) int32 per-slot fill
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
 
 jax.tree_util.register_dataclass(
-    PPCache, data_fields=["k", "v", "length"], meta_fields=[]
+    PPCache, data_fields=["k", "v", "length", "k_scale", "v_scale"],
+    meta_fields=[],
 )
 
 
@@ -136,14 +146,24 @@ def pp_init_cache(state: PPServeState, config, batch: int, max_len: int,
     shape = (S, Lr, batch, max_len, config.num_key_value_heads,
              config.head_dim)
     sh = NamedSharding(mesh, P("pp", None, None, None, "tp", None))
+    quantized = dtype in ("int8", jnp.int8)
+    buf_dtype = jnp.int8 if quantized else dtype
     zeros = jax.jit(
-        lambda: jnp.zeros(shape, dtype), out_shardings=sh
+        lambda: jnp.zeros(shape, buf_dtype), out_shardings=sh
     )
+    scales = None
+    if quantized:
+        ssh = NamedSharding(mesh, P("pp", None, None, None, "tp"))
+        scales = jax.jit(
+            lambda: jnp.zeros(shape[:-1], jnp.float32), out_shardings=ssh
+        )
     return PPCache(
         k=zeros(), v=zeros(),
         length=jax.device_put(
             jnp.zeros((batch,), jnp.int32), NamedSharding(mesh, P())
         ),
+        k_scale=scales() if quantized else None,
+        v_scale=scales() if quantized else None,
     )
 
 
@@ -185,9 +205,13 @@ def pp_apply(
     posmat = positions.astype(jnp.int32)  # scatter rows per slot
     bidx = jnp.arange(B)
 
-    def layer_fwd(layer, kl, vl, h, cos, sin, mask, posmat, wmask_b):
+    def layer_fwd(layer, kl, vl, kls, vls, h, cos, sin, mask, posmat,
+                  wmask_b):
         """One tp-sharded decoder layer over local (B,T,H) + local cache
-        (B, Smax, Hkv/tp, D). Mirrors models/llama.py:_decoder_layer."""
+        (B, Smax, Hkv/tp, D). Mirrors models/llama.py:_decoder_layer.
+        kls/vls (B, Smax, Hkv/tp) f32 present → int8 cache: quantize the
+        new rows ONCE at write, dequantize on attend (same contract as the
+        single-device int8 KV cache)."""
         att = layer["attention"]
         xn = rms_norm(h, layer["input_norm"], eps)
 
@@ -205,13 +229,23 @@ def pp_apply(
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
 
-        kl_new = kl.at[bidx[:, None], posmat].set(k.astype(kl.dtype))
-        vl_new = vl.at[bidx[:, None], posmat].set(v.astype(vl.dtype))
         wm = wmask_b[:, None, None, None]
-        kl = jnp.where(wm, kl_new, kl)
-        vl = jnp.where(wm, vl_new, vl)
-
-        k_all, v_all = kl.astype(h.dtype), vl.astype(h.dtype)
+        if kls is not None:
+            k8, ksc = _kv_quantize(k)
+            v8, vsc = _kv_quantize(v)
+            kl = jnp.where(wm, kl.at[bidx[:, None], posmat].set(k8), kl)
+            vl = jnp.where(wm, vl.at[bidx[:, None], posmat].set(v8), vl)
+            wm3 = wmask_b[:, None, None]
+            kls = jnp.where(wm3, kls.at[bidx[:, None], posmat].set(ksc), kls)
+            vls = jnp.where(wm3, vls.at[bidx[:, None], posmat].set(vsc), vls)
+            k_all = kl.astype(h.dtype) * kls[..., None].astype(h.dtype)
+            v_all = vl.astype(h.dtype) * vls[..., None].astype(h.dtype)
+        else:
+            kl_new = kl.at[bidx[:, None], posmat].set(k.astype(kl.dtype))
+            vl_new = vl.at[bidx[:, None], posmat].set(v.astype(vl.dtype))
+            kl = jnp.where(wm, kl_new, kl)
+            vl = jnp.where(wm, vl_new, vl)
+            k_all, v_all = kl.astype(h.dtype), vl.astype(h.dtype)
         if nkv_l != nh_l:
             rep = nh_l // nkv_l
             k_all = jnp.repeat(k_all, rep, axis=2)
@@ -239,49 +273,87 @@ def pp_apply(
 
         y = jax.nn.silu(lin2(mlp["gate"], xn2)) * lin2(mlp["up"], xn2)
         h = h + jax.lax.psum(lin2(mlp["down"], y), "tp")
-        return h, kl, vl
+        return h, kl, vl, kls, vls
 
-    def shard_fn(staged_local, k_local, v_local, x, cos, sin, mask, posmat,
-                 wmask_b):
+    quantized = cache.k_scale is not None
+
+    def shard_fn(*args):
+        if quantized:
+            (staged_local, k_local, v_local, ks_local, vs_local, x, cos,
+             sin, mask, posmat, wmask_b) = args
+        else:
+            (staged_local, k_local, v_local, x, cos, sin, mask, posmat,
+             wmask_b) = args
+            ks_local = vs_local = None
         # locals arrive (1, Lr, ...) on the stage axis — drop it
         stage_params = jax.tree.map(lambda a: a[0], staged_local)
         k_st, v_st = k_local[0], v_local[0]  # (Lr, B, Smax, Hkv/tp, D)
+        ks_st = ks_local[0] if quantized else None
+        vs_st = vs_local[0] if quantized else None
         s = jax.lax.axis_index("pp")
 
-        def stage_compute(h, k_st, v_st):
+        def stage_compute(h, k_st, v_st, ks_st, vs_st):
             def body(h, inputs):
-                layer, kl, vl = inputs
-                h, kl, vl = layer_fwd(layer, kl, vl, h, cos, sin, mask,
-                                      posmat, wmask_b)
-                return h, (kl, vl)
+                layer, kl, vl, kls, vls = inputs
+                h, kl, vl, kls, vls = layer_fwd(
+                    layer, kl, vl, kls, vls, h, cos, sin, mask, posmat,
+                    wmask_b,
+                )
+                return h, (kl, vl, kls, vls)
 
-            h, (k_new, v_new) = jax.lax.scan(
-                body, h, (stage_params, k_st, v_st)
+            h, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+                body, h, (stage_params, k_st, v_st, ks_st, vs_st)
             )
-            return h, k_new, v_new
+            return h, k_new, v_new, ks_new, vs_new
+
+        def commit_sel(commit, new, old):
+            return None if old is None else jnp.where(commit, new, old)
 
         buf = x
         h_out = x
         perm = [(i, (i + 1) % S) for i in range(S)]
         for tick in range(S):
-            h_out, k_new, v_new = stage_compute(buf, k_st, v_st)
+            h_out, k_new, v_new, ks_new, vs_new = stage_compute(
+                buf, k_st, v_st, ks_st, vs_st
+            )
             commit = s == tick  # each rank owns exactly one tick
             k_st = jnp.where(commit, k_new, k_st)
             v_st = jnp.where(commit, v_new, v_st)
+            ks_st = commit_sel(commit, ks_new, ks_st)
+            vs_st = commit_sel(commit, vs_new, vs_st)
             if S > 1:
                 buf = jax.lax.ppermute(h_out, "pp", perm)
         final = jax.lax.psum(jnp.where(s == S - 1, h_out, 0.0), "pp")
+        if quantized:
+            return final, k_st[None], v_st[None], ks_st[None], vs_st[None]
         return final, k_st[None], v_st[None]
 
     cspec = P("pp", None, None, None, "tp", None)
+    sspec = P("pp", None, None, None, "tp")
     pspec = _llama_layer_specs(state.staged)  # same tree shape as one layer
-    hidden, new_k, new_v = jax.shard_map(
+    operands = [state.staged, cache.k, cache.v]
+    in_specs = [pspec, cspec, cspec]
+    if quantized:
+        operands += [cache.k_scale, cache.v_scale]
+        in_specs += [sspec, sspec]
+    operands += [x, cos, sin, mask, posmat, write_mask]
+    in_specs += [P()] * 6
+    out_specs = (
+        (P(), cspec, cspec, sspec, sspec) if quantized
+        else (P(), cspec, cspec)
+    )
+    result = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(pspec, cspec, cspec, P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), cspec, cspec),
+        in_specs=tuple(in_specs),
+        out_specs=out_specs,
         check_vma=False,
-    )(state.staged, cache.k, cache.v, x, cos, sin, mask, posmat, write_mask)
+    )(*operands)
+    if quantized:
+        hidden, new_k, new_v, new_ks, new_vs = result
+    else:
+        hidden, new_k, new_v = result
+        new_ks = new_vs = None
 
     hidden = rms_norm(hidden, state.final_norm, eps)
     logits = jnp.einsum(
@@ -291,7 +363,8 @@ def pp_apply(
     length = jnp.where(
         write_mask, cache.length + n_valid.astype(jnp.int32), cache.length
     )
-    return logits, PPCache(k=new_k, v=new_v, length=length)
+    return logits, PPCache(k=new_k, v=new_v, length=length,
+                           k_scale=new_ks, v_scale=new_vs)
 
 
 @partial(jax.jit, static_argnames=("state", "config"))

@@ -1,0 +1,122 @@
+"""int8 KV cache composed with pipeline-parallel serving (pp×tp).
+
+Closes the round-3 composition gap (COVERAGE.md: "PP serving covers bf16
+llama-family only"): the staged KV cache stores int8 codes + per-row
+scales, halving per-stage KV HBM, with the same quantize-at-write /
+dequant-on-attend contract as the single-device int8 cache
+(models/llama.py _kv_quantize; parity conventions from test_kv_quant.py —
+int8 KV is near-exact at tiny scale, asserted as >=0.9 greedy agreement).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from intel_extension_for_transformers_tpu.models.llama import (
+    LlamaConfig,
+    init_kv_cache,
+    llama_apply,
+    llama_init_params,
+)
+from intel_extension_for_transformers_tpu.models.engine import (
+    DecodeEngine,
+    EngineRequest,
+)
+from intel_extension_for_transformers_tpu.parallel import create_mesh
+from intel_extension_for_transformers_tpu.parallel.pp_serve import (
+    build_pp_serve_state,
+    pp_apply,
+    pp_init_cache,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    config = LlamaConfig.tiny(vocab_size=256, hidden_size=64,
+                              intermediate_size=128)
+    params = llama_init_params(jax.random.PRNGKey(0), config)
+    mesh = create_mesh(dp=-1, pp=2, tp=2)
+    state = build_pp_serve_state(params, config, mesh)
+    return params, config, mesh, state
+
+
+def _bytes_of(tree):
+    return sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree.leaves(tree)
+        if hasattr(x, "dtype")
+    )
+
+
+def test_pp_int8_cache_memory_and_greedy_parity(setup):
+    """Pipelined int8-KV greedy trajectory matches the single-device int8
+    cache trajectory; staged cache bytes drop to ~half of bf16."""
+    params, config, mesh, state = setup
+    B, T, max_len = 2, 8, 48
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, T), 0, 256)
+
+    cache_bf16 = pp_init_cache(state, config, B, max_len)
+    cache = pp_init_cache(state, config, B, max_len, dtype="int8")
+    # int8 codes + (S, Lr, B, Smax, Hkv) f32 scales vs bf16 codes
+    assert _bytes_of(cache) < 0.70 * _bytes_of(cache_bf16)
+
+    ref_cache = init_kv_cache(config, B, max_len, dtype="int8")
+    ref_logits, ref_cache = llama_apply(params, config, ids, ref_cache)
+
+    ones = jnp.full((B,), T, jnp.int32)
+    logits, cache = pp_apply(state, config, ids, cache, ones,
+                             jnp.ones((B,), bool))
+    # same quantization decisions on both sides → near-identical logits
+    np.testing.assert_allclose(
+        np.asarray(logits[:, -1], np.float32),
+        np.asarray(ref_logits[:, -1], np.float32),
+        atol=3e-2, rtol=0,
+    )
+    tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    ref_tok = jnp.argmax(ref_logits[:, -1], axis=-1).astype(jnp.int32)
+    agree, total = int(np.sum(np.asarray(tok) == np.asarray(ref_tok))), B
+    for _ in range(6):
+        ref_lg, ref_cache = llama_apply(
+            params, config, ref_tok[:, None], ref_cache
+        )
+        lg, cache = pp_apply(
+            state, config, tok[:, None], cache,
+            jnp.ones((B,), jnp.int32), jnp.ones((B,), bool),
+        )
+        tok = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+        ref_tok = jnp.argmax(ref_lg[:, -1], axis=-1).astype(jnp.int32)
+        agree += int(np.sum(np.asarray(tok) == np.asarray(ref_tok)))
+        total += B
+    assert agree / total >= 0.9, f"greedy agreement {agree}/{total}"
+
+
+def test_engine_pp_int8_kv_serves(setup):
+    """DecodeEngine(pp_state=..., kv_dtype='int8') serves concurrent greedy
+    slots and matches the single-device int8-KV engine output."""
+    params, config, mesh, state = setup
+    prompts = [[7, 3, 11], [5, 2]]
+
+    def run(engine):
+        reqs = [
+            EngineRequest(prompt_ids=np.array(p, np.int32), max_new_tokens=10,
+                          do_sample=False)
+            for p in prompts
+        ]
+        engine.start()
+        try:
+            for r in reqs:
+                engine.submit(r)
+            return [list(r.tokens()) for r in reqs]
+        finally:
+            engine.stop()
+
+    out_pp = run(DecodeEngine(params, config, max_slots=2, max_len=48,
+                              kv_dtype="int8", pp_state=state))
+    out_sd = run(DecodeEngine(params, config, max_slots=2, max_len=48,
+                              kv_dtype="int8"))
+    for a, b in zip(out_pp, out_sd):
+        assert len(a) == len(b) == 10
+        same = np.mean(np.array(a) == np.array(b))
+        assert same >= 0.9, (a, b)

@@ -102,8 +102,13 @@ def test_pp_engine_greedy_parity(setup):
 
 
 def test_pp_engine_rejects_unsupported_combos(setup):
+    # int8 KV now composes with pp (tests/test_pp_int8_kv.py); kv policies
+    # and speculative drafts still do not
     params, config, mesh, state = setup
     with pytest.raises(ValueError):
         DecodeEngine(params, config, pp_state=state, kv_policy="sink")
     with pytest.raises(ValueError):
-        DecodeEngine(params, config, pp_state=state, kv_dtype="int8")
+        DecodeEngine(params, config, pp_state=state, kv_dtype="float16")
+    with pytest.raises(ValueError):
+        DecodeEngine(params, config, pp_state=state,
+                     draft_params=params, draft_config=config)
