@@ -931,6 +931,32 @@ class NeuralChatServerExecutor:
         for key in ("kv_policy", "kv_sink", "kv_recent", "kv_heavy"):
             if serving.get(key) is not None:
                 kv_kwargs[key] = serving[key]
+        # pp×tp pipelined serving from YAML: serving_config:
+        #   pipeline_parallel: {pp: 2, tp: 2}   (multi-chip mesh; bf16 or
+        # int8 KV — draft/kv_policy do not compose with pp and are dropped)
+        pp_state = None
+        if serving.get("pipeline_parallel"):
+            pp_cfg = serving["pipeline_parallel"] or {}
+            from intel_extension_for_transformers_tpu.parallel import (
+                create_mesh,
+            )
+            from intel_extension_for_transformers_tpu.parallel.pp_serve import (
+                build_pp_serve_state,
+            )
+
+            mesh = create_mesh(
+                dp=-1,
+                pp=int(pp_cfg.get("pp", 2)),
+                tp=int(pp_cfg.get("tp", 1)),
+            )
+            pp_state = build_pp_serve_state(params, model_config, mesh)
+            if d_params is not None or kv_kwargs:
+                logger.warning(
+                    "pipeline_parallel serving drops draft/kv_policy "
+                    "(unsupported composition)"
+                )
+                d_params = d_config = None
+                kv_kwargs = {}
         if serving.get("autotune_layouts"):
             # per-shape khalf/w32 WOQ dispatch table, measured once on the
             # live chip and replayed from ~/.cache (reference analogue:
@@ -956,6 +982,7 @@ class NeuralChatServerExecutor:
             draft_config=d_config,
             num_speculative_tokens=int(serving.get("num_speculative_tokens", 4)),
             kv_dtype=serving.get("kv_dtype", "bfloat16"),
+            pp_state=pp_state,
             **kv_kwargs,
         ).start()
         return self.engine

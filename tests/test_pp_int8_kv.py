@@ -120,3 +120,72 @@ def test_engine_pp_int8_kv_serves(setup):
         assert len(a) == len(b) == 10
         same = np.mean(np.array(a) == np.array(b))
         assert same >= 0.9, (a, b)
+
+
+def test_server_yaml_pipeline_parallel(setup):
+    """serving_config.pipeline_parallel builds the pp×tp engine from YAML
+    (the config-surface path of the library-level pp_state)."""
+    import json
+    from http.client import HTTPConnection
+
+    from intel_extension_for_transformers_tpu.models.tokenization import (
+        ByteTokenizer,
+    )
+    from intel_extension_for_transformers_tpu.neural_chat.plugins import (
+        reset_plugins,
+    )
+    from intel_extension_for_transformers_tpu.neural_chat.server import (
+        NeuralChatServerExecutor,
+    )
+
+    # ByteTokenizer emits specials past id 256 — needs the default tiny
+    # vocab, not the 256-vocab parity fixture
+    config = LlamaConfig.tiny(hidden_size=64, intermediate_size=128)
+    params = llama_init_params(jax.random.PRNGKey(0), config)
+    mesh = setup[2]
+    state = build_pp_serve_state(params, config, mesh)
+    reset_plugins()
+    executor = NeuralChatServerExecutor()
+    ok = executor.init(
+        {
+            "host": "127.0.0.1",
+            "port": 0,
+            "model_name_or_path": "tiny-llama-pp",
+            "loading_config": {"preloaded": (params, config, ByteTokenizer())},
+            "generation_config": {
+                "max_new_tokens": 6,
+                "do_sample": False,
+                "repetition_penalty": 1.0,
+            },
+            "serving_config": {
+                "continuous_batching": True,
+                "max_slots": 2,
+                "max_len": 64,
+                "kv_dtype": "int8",
+                "pipeline_parallel": {"pp": 2, "tp": 2},
+            },
+        }
+    )
+    assert ok and executor.app.engine is not None
+    assert executor.app.engine.pp_state is not None
+    assert executor.app.engine.kv_dtype == "int8"
+    executor.run(block=False)
+    try:
+        conn = HTTPConnection("127.0.0.1", executor.port, timeout=300)
+        conn.request(
+            "POST",
+            "/v1/chat/completions",
+            json.dumps({
+                "model": "tiny-llama-pp",
+                "messages": [{"role": "user", "content": "hi"}],
+            }),
+            {"Content-Type": "application/json"},
+        )
+        resp = conn.getresponse()
+        data = json.loads(resp.read())
+        conn.close()
+        assert resp.status == 200
+        assert data["choices"][0]["message"]["content"]
+    finally:
+        executor.stop()
+        reset_plugins()
