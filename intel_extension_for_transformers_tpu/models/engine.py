@@ -67,6 +67,7 @@ from intel_extension_for_transformers_tpu.ops.layers import (
 )
 from intel_extension_for_transformers_tpu.parallel.pp_serve import (
     pp_apply,
+    pp_compact_slot,
     pp_init_cache,
     pp_prefill_chunk,
 )
@@ -628,11 +629,12 @@ class DecodeEngine:
         self.config = config
         self.pp_state = pp_state
         if pp_state is not None and (
-            draft_config is not None or kv_policy is not None
+            draft_config is not None or kv_policy == "h2o"
         ):
             raise ValueError(
-                "pp serving composes with bf16 or int8-KV decode only "
-                "(no draft, no kv_policy) in this version"
+                "pp serving composes with bf16/int8 KV and the sink "
+                "eviction policy only (no draft, no h2o — the pipelined "
+                "step does not surface attention mass) in this version"
             )
         if pp_state is not None and kv_dtype not in (
             "bfloat16", jnp.bfloat16, "int8", jnp.int8
@@ -821,7 +823,7 @@ class DecodeEngine:
         C = adm["chunks"][ci].shape[1]
         if (
             self.kv_policy is not None
-            and adm["cache"] is not None
+            and (adm["cache"] is not None or self.pp_state is not None)
             and adm["len"] + C > self.max_len
         ):
             # long-prompt ingestion: evict BETWEEN prefill chunks so prompts
@@ -830,15 +832,23 @@ class DecodeEngine:
                 adm["len"], adm["mass"] if self._with_mass else None
             )
             keep_idx = jnp.asarray(keep.astype(np.int32))
-            adm["cache"] = _compact_single(
-                adm["cache"], keep_idx, _rope_spec(self.config)
-            )
-            if adm["dcache"] is not None:
-                adm["dcache"] = _compact_single(
-                    adm["dcache"], keep_idx, _rope_spec(self.draft_config)
+            if self.pp_state is not None:
+                # pp admissions prefill the pool cache in place — compact
+                # the joining slot there
+                self._cache = pp_compact_slot(
+                    self._cache, jnp.int32(adm["slot"]), keep_idx,
+                    _rope_spec(self.config),
                 )
-            if self._with_mass:
-                adm["mass"] = _compact_mass(adm["mass"], keep_idx)
+            else:
+                adm["cache"] = _compact_single(
+                    adm["cache"], keep_idx, _rope_spec(self.config)
+                )
+                if adm["dcache"] is not None:
+                    adm["dcache"] = _compact_single(
+                        adm["dcache"], keep_idx, _rope_spec(self.draft_config)
+                    )
+                if self._with_mass:
+                    adm["mass"] = _compact_mass(adm["mass"], keep_idx)
             adm["len"] = len(keep)
             self._compactions += 1
         ids = jnp.asarray(adm["chunks"][ci])
@@ -1044,6 +1054,13 @@ class DecodeEngine:
             )
             keep_idx = jnp.asarray(keep.astype(np.int32))
             spec = _rope_spec(self.config)
+            if self.pp_state is not None:
+                self._cache = pp_compact_slot(
+                    self._cache, jnp.int32(slot), keep_idx, spec
+                )
+                self._host_len[slot] = len(keep)
+                self._compactions += 1
+                continue
             self._cache = _compact_cache_slot(
                 self._cache, jnp.int32(slot), keep_idx, spec
             )

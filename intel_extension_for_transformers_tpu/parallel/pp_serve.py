@@ -38,6 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from intel_extension_for_transformers_tpu.ops.layers import (
     apply_rotary,
     rms_norm,
+    rope_inv_freq,
     rotary_embedding,
 )
 from intel_extension_for_transformers_tpu.models.llama import _kv_quantize
@@ -365,6 +366,73 @@ def pp_apply(
     )
     return logits, PPCache(k=new_k, v=new_v, length=length,
                            k_scale=new_ks, v_scale=new_vs)
+
+
+@partial(jax.jit, static_argnames=("rope_spec",))
+def pp_compact_slot(cache: PPCache, slot, keep_idx, rope_spec):
+    """Compact ONE slot of the staged pool cache to its kept rows (the
+    pp×tp form of models/engine.py:_compact_cache_slot — KV eviction for
+    unbounded chats on pipeline-served models).
+
+    keep_idx (K,) int32 ascending original rows → new rows 0..K-1. Kept
+    keys are re-rotated by their position delta (RoPE angles are linear in
+    position); int8 caches dequantize, rotate, and requantize (rotation
+    can grow a component by √2 → scales recomputed). Every op is a local
+    per-(pp, tp)-shard transform along unsharded axes (T gather, D
+    rotation), so GSPMD partitions it with no resharding — no shard_map
+    needed."""
+    K = keep_idx.shape[0]
+    deltas = jnp.arange(K, dtype=jnp.int32) - keep_idx  # (K,) ≤ 0
+
+    def rot(kk):  # (S, Lr, K, Hkv, D) float → per-row delta rotation
+        if rope_spec is None:
+            return kk
+        kind, rd, theta, scaling = rope_spec
+        inv = rope_inv_freq(rd, theta, scaling)  # (rd/2,)
+        ang = deltas.astype(jnp.float32)[:, None] * inv  # (K, rd/2)
+        cos = jnp.cos(ang)[None, None, :, None, :].astype(kk.dtype)
+        sin = jnp.sin(ang)[None, None, :, None, :].astype(kk.dtype)
+        r = kk[..., :rd]
+        if kind == "interleaved":
+            x1, x2 = r[..., ::2], r[..., 1::2]
+            rr = jnp.stack(
+                [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+            ).reshape(r.shape)
+        else:
+            x1, x2 = jnp.split(r, 2, axis=-1)
+            rr = jnp.concatenate(
+                [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+            )
+        if rd < kk.shape[-1]:
+            return jnp.concatenate([rr, kk[..., rd:]], axis=-1)
+        return rr
+
+    kk = jnp.take(cache.k[:, :, slot], keep_idx, axis=2)  # (S, Lr, K, H, D)
+    vv = jnp.take(cache.v[:, :, slot], keep_idx, axis=2)
+    if cache.k_scale is not None:
+        ks = jnp.take(cache.k_scale[:, :, slot], keep_idx, axis=2)
+        vs = jnp.take(cache.v_scale[:, :, slot], keep_idx, axis=2)
+        kf = rot(kk.astype(jnp.float32) * ks[..., None])
+        nks = jnp.max(jnp.abs(kf), axis=-1) / 127.0
+        kq = jnp.clip(
+            jnp.round(kf / jnp.maximum(nks[..., None], 1e-8)), -127, 127
+        ).astype(jnp.int8)
+        return replace(
+            cache,
+            k=cache.k.at[:, :, slot, :K].set(kq),
+            v=cache.v.at[:, :, slot, :K].set(vv),
+            k_scale=cache.k_scale.at[:, :, slot, :K].set(nks),
+            v_scale=cache.v_scale.at[:, :, slot, :K].set(vs),
+            length=cache.length.at[slot].set(K),
+        )
+    return replace(
+        cache,
+        k=cache.k.at[:, :, slot, :K].set(
+            rot(kk.astype(jnp.float32)).astype(cache.k.dtype)
+        ),
+        v=cache.v.at[:, :, slot, :K].set(vv),
+        length=cache.length.at[slot].set(K),
+    )
 
 
 @partial(jax.jit, static_argnames=("state", "config"))

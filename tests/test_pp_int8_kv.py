@@ -122,6 +122,57 @@ def test_engine_pp_int8_kv_serves(setup):
         assert same >= 0.9, (a, b)
 
 
+def _drain(engine, prompts, n_tokens):
+    reqs = [
+        EngineRequest(prompt_ids=np.array(p, np.int32),
+                      max_new_tokens=n_tokens, do_sample=False)
+        for p in prompts
+    ]
+    engine.start()
+    try:
+        for r in reqs:
+            engine.submit(r)
+        return [list(r.tokens()) for r in reqs]
+    finally:
+        engine.stop()
+
+
+def test_pp_sink_eviction_unbounded_generation(setup):
+    """A pp-served slot generates PAST max_len under the sink policy: the
+    staged cache compacts in place (pp_compact_slot) instead of the slot
+    terminating, and the greedy output matches the single-device engine
+    running the identical policy."""
+    params, config, mesh, state = setup
+    kw = dict(max_slots=2, max_len=32, kv_policy="sink", kv_sink=4,
+              kv_recent=16, prefill_chunk=8)
+    eng_pp = DecodeEngine(params, config, pp_state=state, **kw)
+    out_pp = _drain(eng_pp, [[7, 3, 11], [5, 2]], 40)
+    assert all(len(o) == 40 for o in out_pp)
+    assert eng_pp._compactions >= 2
+
+    eng_sd = DecodeEngine(params, config, **kw)
+    out_sd = _drain(eng_sd, [[7, 3, 11], [5, 2]], 40)
+    for a, b in zip(out_pp, out_sd):
+        same = np.mean(np.array(a) == np.array(b))
+        assert same >= 0.9, (same, a, b)
+
+
+def test_pp_sink_long_prompt_ingestion_int8(setup):
+    """All three compose: pp×tp + int8 KV + sink eviction, with a prompt
+    LONGER than max_len (admission compacts the pool slot between prefill
+    chunks) — the stream completes with the full token budget."""
+    params, config, mesh, state = setup
+    rng = np.random.default_rng(0)
+    long_prompt = rng.integers(0, 256, 50).tolist()  # > max_len=32
+    eng = DecodeEngine(params, config, pp_state=state, kv_dtype="int8",
+                       max_slots=2, max_len=32, kv_policy="sink", kv_sink=4,
+                       kv_recent=16, prefill_chunk=8)
+    out = _drain(eng, [long_prompt], 12)
+    assert len(out[0]) == 12
+    assert eng._compactions >= 1
+    assert eng._host_len[0] <= 32
+
+
 def test_server_yaml_pipeline_parallel(setup):
     """serving_config.pipeline_parallel builds the pp×tp engine from YAML
     (the config-surface path of the library-level pp_state)."""
