@@ -25,6 +25,31 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_mappings():
+    """Keep the process under vm.max_map_count (Linux default 65530).
+
+    Every XLA-CPU executable JITs code into fresh mmap regions (~2-3k
+    mappings per test file here); across the full suite the count crosses
+    the default ceiling around the 75% mark and the NEXT compile's failed
+    mmap segfaults inside LLVM (observed as deterministic exit-139 crashes
+    in whichever file compiles there — test_sharded_inference at suite
+    order). Dropping compiled programs (jax.clear_caches()) returns the
+    mappings; do it whenever a module ends with the count high. Threshold
+    40k keeps headroom while avoiding needless cross-module recompiles."""
+    yield
+    if _map_count() > 40_000:
+        jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def mesh8():
     from intel_extension_for_transformers_tpu.parallel import create_mesh
