@@ -329,6 +329,88 @@ def _spec_engine_step(
             accum)
 
 
+@partial(jax.jit, static_argnames=("state", "config", "draft_config", "gamma"))
+def _pp_spec_engine_step(
+    state, config, draft_params, draft_config, cache, draft_cache,
+    tokens, active, rng,
+    temperature, top_k, top_p, do_sample, rep_penalty, seen, guide,
+    gamma: int,
+):
+    """Speculative decode step for a PIPELINE-served pool: the draft runs
+    replicated (small model, single-device layout, vmapped per slot) and
+    the target verifies all gamma+1 tokens in ONE pipelined pp_apply.
+
+    pp_apply's write/advance split makes the rollback trivial: verify rows
+    are written at length+[0, gamma] with n_valid=0 (no advance), then the
+    length advances by each slot's accepted n+1 only — dirty rows past it
+    are overwritten by later writes and masked meanwhile. Same acceptance
+    contract as _spec_engine_step (greedy slots exact; sampled/guided/
+    penalized slots force n=0 and take the target's l0 sample)."""
+    draft_apply = _eager(get_apply_fn(draft_config))
+    B = tokens.shape[0]
+
+    def draft_one(carry, _):
+        dcache, tok = carry
+
+        def one(cs, t):
+            logits, nc = draft_apply(draft_params, draft_config,
+                                     t[None, None], cs)
+            return logits[0, -1], nc
+
+        logits, dcache = jax.vmap(one)(dcache, tok)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (dcache, nxt), nxt
+
+    (draft_cache, _), proposals = jax.lax.scan(
+        draft_one, (draft_cache, tokens), None, length=gamma + 1
+    )
+    drafts = proposals[:gamma].T  # (B, gamma)
+
+    seq = jnp.concatenate([tokens[:, None], drafts], axis=1)  # (B, g+1)
+    logits, cache = pp_apply(
+        state, config, seq, cache,
+        n_valid=jnp.zeros((B,), jnp.int32), write_mask=active,
+    )
+    logits = logits.astype(jnp.float32)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    ok = (drafts == greedy[:, :gamma]).astype(jnp.int32)
+    n = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)  # (B,)
+    spec_ok = (~do_sample) & (rep_penalty == 1.0) & (~guide.on)
+    n = jnp.where(spec_ok, n, 0)
+
+    allow, constrained = _guide_allow(guide, logits.shape[-1])
+    rng, sub = jax.random.split(rng)
+    sampled0 = sample_logits_per_slot(
+        logits[:, 0], sub, temperature, top_k, top_p, do_sample, rep_penalty,
+        seen, allow,
+    )
+    gn = jnp.take_along_axis(greedy, n[:, None], axis=1)[:, 0]
+    nxt = jnp.where(spec_ok, gn, sampled0)
+    guide = _guide_advance(guide, nxt, constrained)
+
+    pos = jnp.arange(gamma + 1)[None, :]
+    out_tokens = jnp.concatenate(
+        [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1
+    )
+    out_tokens = jnp.where(pos == n[:, None], nxt[:, None], out_tokens)
+    out_count = n + 1
+
+    # pool cache: advance active slots by their accepted n+1 (verify wrote
+    # with n_valid=0); draft cache advanced gamma+1 → roll back to n+1 - 1
+    cache = replace(
+        cache,
+        length=jnp.where(active, cache.length + n + 1, cache.length),
+    )
+    draft_cache = replace(draft_cache, length=draft_cache.length - gamma + n)
+
+    emitted_hot = jax.nn.one_hot(out_tokens, seen.shape[-1], dtype=jnp.bool_)
+    seen = seen | jnp.any(
+        emitted_hot & (pos <= n[:, None])[..., None], axis=1
+    )
+    return (out_tokens, out_count, nxt, cache, draft_cache, rng, seen, guide)
+
+
 @partial(jax.jit, static_argnames=("state", "config"))
 def _pp_engine_step(
     state, config, cache, tokens, active, rng,
@@ -628,13 +710,11 @@ class DecodeEngine:
         self.params = params
         self.config = config
         self.pp_state = pp_state
-        if pp_state is not None and (
-            draft_config is not None or kv_policy == "h2o"
-        ):
+        if pp_state is not None and kv_policy == "h2o":
             raise ValueError(
-                "pp serving composes with bf16/int8 KV and the sink "
-                "eviction policy only (no draft, no h2o — the pipelined "
-                "step does not surface attention mass) in this version"
+                "pp serving composes with bf16/int8 KV, the sink eviction "
+                "policy, and speculative drafts — but not h2o (the "
+                "pipelined step does not surface attention mass)"
             )
         if pp_state is not None and kv_dtype not in (
             "bfloat16", jnp.bfloat16, "int8", jnp.int8
@@ -685,7 +765,12 @@ class DecodeEngine:
         if pp_state is not None:
             self._cache = pp_init_cache(pp_state, config, max_slots, max_len,
                                         dtype=kv_dtype)
-            self._draft_cache = None
+            # the draft stays in the single-device layout, replicated —
+            # a small model doesn't need pipelining
+            self._draft_cache = (
+                batched_cache(draft_config) if draft_config is not None
+                else None
+            )
         else:
             self._cache = batched_cache(config)
             self._draft_cache = (
@@ -839,6 +924,10 @@ class DecodeEngine:
                     self._cache, jnp.int32(adm["slot"]), keep_idx,
                     _rope_spec(self.config),
                 )
+                if adm["dcache"] is not None:
+                    adm["dcache"] = _compact_single(
+                        adm["dcache"], keep_idx, _rope_spec(self.draft_config)
+                    )
             else:
                 adm["cache"] = _compact_single(
                     adm["cache"], keep_idx, _rope_spec(self.config)
@@ -858,6 +947,11 @@ class DecodeEngine:
                 self.pp_state, self.config, self._cache, ids,
                 jnp.int32(adm["slot"]), nv,
             )
+            if adm["dcache"] is not None:
+                _, adm["dcache"], _, _ = _prefill_chunk(
+                    self.draft_params, self.draft_config, adm["dcache"],
+                    ids, nv, adm["seen"], adm["mass"], with_mass=False,
+                )
         else:
             adm["last"], adm["cache"], adm["seen"], adm["mass"] = _prefill_chunk(
                 self.params, self.config, adm["cache"], ids, nv, adm["seen"],
@@ -912,8 +1006,14 @@ class DecodeEngine:
             adm["last"], sub, cfg_arrays, adm["seen"], allow_row
         )
         if self.pp_state is not None:
-            # prefill already wrote the pool cache in place
+            # prefill already wrote the pool cache in place; the draft's
+            # single-device slot cache still inserts into its pool
             self._seen = self._seen.at[slot].set(seen_row)
+            if adm["dcache"] is not None:
+                self._draft_cache, self._seen = _insert_slot(
+                    self._draft_cache, adm["dcache"], jnp.int32(slot),
+                    self._seen, seen_row,
+                )
         else:
             self._cache, self._seen = _insert_slot(
                 self._cache, adm["cache"], jnp.int32(slot), self._seen, seen_row
@@ -1058,6 +1158,11 @@ class DecodeEngine:
                 self._cache = pp_compact_slot(
                     self._cache, jnp.int32(slot), keep_idx, spec
                 )
+                if self._draft_cache is not None:
+                    self._draft_cache = _compact_cache_slot(
+                        self._draft_cache, jnp.int32(slot), keep_idx,
+                        _rope_spec(self.draft_config),
+                    )
                 self._host_len[slot] = len(keep)
                 self._compactions += 1
                 continue
@@ -1143,7 +1248,37 @@ class DecodeEngine:
             # evict before the step if any slot would overflow its cache
             self._maybe_compact()
             # one decode step for the whole pool
-            if self._draft_cache is not None:
+            if self._draft_cache is not None and self.pp_state is not None:
+                (out_tokens, out_count, self._tokens, self._cache,
+                 self._draft_cache, self._rng, self._seen,
+                 self._guide) = _pp_spec_engine_step(
+                    self.pp_state, self.config,
+                    self.draft_params, self.draft_config,
+                    self._cache, self._draft_cache,
+                    self._tokens,
+                    jnp.asarray(np.array(active, bool)),
+                    self._rng,
+                    jnp.asarray(self._temp),
+                    jnp.asarray(self._topk),
+                    jnp.asarray(self._topp),
+                    jnp.asarray(self._dos),
+                    jnp.asarray(self._rep),
+                    self._seen,
+                    self._guide,
+                    self.gamma,
+                )
+                self._steps += 1
+                ot, oc = np.asarray(out_tokens), np.asarray(out_count)
+                for slot in range(self.max_slots):
+                    if active[slot]:
+                        self._host_len[slot] += int(oc[slot])
+                    for j in range(int(oc[slot])):
+                        if self._slots[slot] is None:
+                            break  # EOS/limit mid-step: drop the tail
+                        t = int(ot[slot, j])
+                        self._emit(slot, t)
+                        self._advance_guide_mirror(slot, t)
+            elif self._draft_cache is not None:
                 (out_tokens, out_count, self._tokens, self._cache,
                  self._draft_cache, self._rng, self._seen, self._guide,
                  self._accum) = _spec_engine_step(

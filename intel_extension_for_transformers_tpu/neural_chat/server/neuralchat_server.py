@@ -950,12 +950,6 @@ class NeuralChatServerExecutor:
                 tp=int(pp_cfg.get("tp", 1)),
             )
             pp_state = build_pp_serve_state(params, model_config, mesh)
-            if d_params is not None:
-                logger.warning(
-                    "pipeline_parallel serving drops the draft model "
-                    "(speculation does not compose with pp)"
-                )
-                d_params = d_config = None
             if kv_kwargs.get("kv_policy") == "h2o":
                 logger.warning(
                     "pipeline_parallel serving drops kv_policy=h2o "

@@ -173,6 +173,50 @@ def test_pp_sink_long_prompt_ingestion_int8(setup):
     assert eng._host_len[0] <= 32
 
 
+def test_pp_speculative_greedy_exact_and_accelerates(setup):
+    """Speculative decoding composes with pp serving: greedy output is
+    BIT-EXACT vs the plain pp engine regardless of draft quality (accept
+    while draft == target argmax), and with a perfect draft the pool
+    advances gamma+1 tokens per pipelined step."""
+    params, config, mesh, state = setup
+    prompts = [[7, 3, 11], [5, 2]]
+    kw = dict(max_slots=2, max_len=64)
+
+    out_ref = _drain(DecodeEngine(params, config, pp_state=state, **kw),
+                     prompts, 16)
+
+    # independent (bad) draft: exactness must still hold
+    bad_draft = llama_init_params(jax.random.PRNGKey(7), config)
+    eng_bad = DecodeEngine(params, config, pp_state=state,
+                           draft_params=bad_draft, draft_config=config,
+                           num_speculative_tokens=3, **kw)
+    assert _drain(eng_bad, prompts, 16) == out_ref
+
+    # perfect draft (= target): every proposal accepted → few steps
+    eng_good = DecodeEngine(params, config, pp_state=state,
+                            draft_params=params, draft_config=config,
+                            num_speculative_tokens=3, **kw)
+    assert _drain(eng_good, prompts, 16) == out_ref
+    assert eng_good._steps <= 10, eng_good._steps  # 32 tokens, γ+1=4/step
+
+
+def test_pp_spec_int8_sink_all_compose(setup):
+    """The full matrix: pp×tp + speculative draft + int8 KV + sink
+    eviction, generating past max_len — stream completes, cache stays
+    bounded, compactions fire on both the staged target cache and the
+    single-device draft cache."""
+    params, config, mesh, state = setup
+    eng = DecodeEngine(params, config, pp_state=state,
+                       draft_params=params, draft_config=config,
+                       num_speculative_tokens=2, kv_dtype="int8",
+                       max_slots=2, max_len=32, kv_policy="sink",
+                       kv_sink=4, kv_recent=12, prefill_chunk=8)
+    out = _drain(eng, [[7, 3, 11]], 40)
+    assert len(out[0]) == 40
+    assert eng._compactions >= 1
+    assert eng._host_len[0] <= 32
+
+
 def test_server_yaml_pipeline_parallel(setup):
     """serving_config.pipeline_parallel builds the pp×tp engine from YAML
     (the config-surface path of the library-level pp_state)."""
