@@ -329,12 +329,13 @@ def _spec_engine_step(
             accum)
 
 
-@partial(jax.jit, static_argnames=("state", "config", "draft_config", "gamma"))
+@partial(jax.jit, static_argnames=("state", "config", "draft_config", "gamma",
+                                   "with_mass"))
 def _pp_spec_engine_step(
     state, config, draft_params, draft_config, cache, draft_cache,
     tokens, active, rng,
-    temperature, top_k, top_p, do_sample, rep_penalty, seen, guide,
-    gamma: int,
+    temperature, top_k, top_p, do_sample, rep_penalty, seen, guide, accum,
+    gamma: int, with_mass: bool = False,
 ):
     """Speculative decode step for a PIPELINE-served pool: the draft runs
     replicated (small model, single-device layout, vmapped per slot) and
@@ -367,10 +368,15 @@ def _pp_spec_engine_step(
     drafts = proposals[:gamma].T  # (B, gamma)
 
     seq = jnp.concatenate([tokens[:, None], drafts], axis=1)  # (B, g+1)
-    logits, cache = pp_apply(
+    out = pp_apply(
         state, config, seq, cache,
         n_valid=jnp.zeros((B,), jnp.int32), write_mask=active,
+        with_mass=with_mass,
     )
+    if with_mass:
+        logits, cache, mass_q = out  # mass (B, g+1, Smax)
+    else:
+        logits, cache = out
     logits = logits.astype(jnp.float32)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
@@ -378,6 +384,12 @@ def _pp_spec_engine_step(
     n = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)  # (B,)
     spec_ok = (~do_sample) & (rep_penalty == 1.0) & (~guide.on)
     n = jnp.where(spec_ok, n, 0)
+
+    if with_mass:  # only accepted verify queries contribute H2O statistics
+        qpos = jnp.arange(gamma + 1)[None, :, None]
+        accum = accum + jnp.sum(
+            jnp.where(qpos <= n[:, None, None], mass_q, 0.0), axis=1
+        )
 
     allow, constrained = _guide_allow(guide, logits.shape[-1])
     rng, sub = jax.random.split(rng)
@@ -408,22 +420,32 @@ def _pp_spec_engine_step(
     seen = seen | jnp.any(
         emitted_hot & (pos <= n[:, None])[..., None], axis=1
     )
-    return (out_tokens, out_count, nxt, cache, draft_cache, rng, seen, guide)
+    return (out_tokens, out_count, nxt, cache, draft_cache, rng, seen, guide,
+            accum)
 
 
-@partial(jax.jit, static_argnames=("state", "config"))
+@partial(jax.jit, static_argnames=("state", "config", "with_mass"))
 def _pp_engine_step(
     state, config, cache, tokens, active, rng,
-    temperature, top_k, top_p, do_sample, rep_penalty, seen, guide,
+    temperature, top_k, top_p, do_sample, rep_penalty, seen, guide, accum,
+    with_mass: bool = False,
 ):
     """One decode step for the whole pool through the pp×tp pipeline
     (parallel/pp_serve.py): same sampling tail as _engine_step; inactive
-    slots neither write KV nor advance length (write_mask=active)."""
+    slots neither write KV nor advance length (write_mask=active).
+    with_mass accumulates the per-key H2O statistic from the pipelined
+    step (pp_apply with_mass)."""
     B = tokens.shape[0]
-    logits, cache = pp_apply(
+    out = pp_apply(
         state, config, tokens[:, None], cache,
         n_valid=jnp.ones((B,), jnp.int32), write_mask=active,
+        with_mass=with_mass,
     )
+    if with_mass:
+        logits, cache, mass = out
+        accum = accum + mass[:, 0, :]
+    else:
+        logits, cache = out
     logits = logits[:, -1].astype(jnp.float32)
     allow, constrained = _guide_allow(guide, logits.shape[-1])
     rng, sub = jax.random.split(rng)
@@ -433,7 +455,7 @@ def _pp_engine_step(
     )
     guide = _guide_advance(guide, nxt, constrained)
     seen = seen | jax.nn.one_hot(nxt, seen.shape[-1], dtype=jnp.bool_)
-    return nxt, cache, rng, seen, guide
+    return nxt, cache, rng, seen, guide, accum
 
 
 @jax.jit
@@ -710,12 +732,6 @@ class DecodeEngine:
         self.params = params
         self.config = config
         self.pp_state = pp_state
-        if pp_state is not None and kv_policy == "h2o":
-            raise ValueError(
-                "pp serving composes with bf16/int8 KV, the sink eviction "
-                "policy, and speculative drafts — but not h2o (the "
-                "pipelined step does not surface attention mass)"
-            )
         if pp_state is not None and kv_dtype not in (
             "bfloat16", jnp.bfloat16, "int8", jnp.int8
         ):
@@ -928,6 +944,8 @@ class DecodeEngine:
                     adm["dcache"] = _compact_single(
                         adm["dcache"], keep_idx, _rope_spec(self.draft_config)
                     )
+                if self._with_mass:
+                    adm["mass"] = _compact_mass(adm["mass"], keep_idx)
             else:
                 adm["cache"] = _compact_single(
                     adm["cache"], keep_idx, _rope_spec(self.config)
@@ -943,10 +961,16 @@ class DecodeEngine:
         ids = jnp.asarray(adm["chunks"][ci])
         nv = jnp.int32(adm["n_valids"][ci])
         if self.pp_state is not None:
-            adm["last"], self._cache = pp_prefill_chunk(
-                self.pp_state, self.config, self._cache, ids,
-                jnp.int32(adm["slot"]), nv,
-            )
+            if self._with_mass:
+                adm["last"], self._cache, adm["mass"] = pp_prefill_chunk(
+                    self.pp_state, self.config, self._cache, ids,
+                    jnp.int32(adm["slot"]), nv, adm["mass"], with_mass=True,
+                )
+            else:
+                adm["last"], self._cache = pp_prefill_chunk(
+                    self.pp_state, self.config, self._cache, ids,
+                    jnp.int32(adm["slot"]), nv,
+                )
             if adm["dcache"] is not None:
                 _, adm["dcache"], _, _ = _prefill_chunk(
                     self.draft_params, self.draft_config, adm["dcache"],
@@ -1163,6 +1187,10 @@ class DecodeEngine:
                         self._draft_cache, jnp.int32(slot), keep_idx,
                         _rope_spec(self.draft_config),
                     )
+                if self._with_mass:
+                    self._accum = _compact_accum(
+                        self._accum, jnp.int32(slot), keep_idx
+                    )
                 self._host_len[slot] = len(keep)
                 self._compactions += 1
                 continue
@@ -1251,7 +1279,7 @@ class DecodeEngine:
             if self._draft_cache is not None and self.pp_state is not None:
                 (out_tokens, out_count, self._tokens, self._cache,
                  self._draft_cache, self._rng, self._seen,
-                 self._guide) = _pp_spec_engine_step(
+                 self._guide, self._accum) = _pp_spec_engine_step(
                     self.pp_state, self.config,
                     self.draft_params, self.draft_config,
                     self._cache, self._draft_cache,
@@ -1265,7 +1293,9 @@ class DecodeEngine:
                     jnp.asarray(self._rep),
                     self._seen,
                     self._guide,
+                    self._accum,
                     self.gamma,
+                    self._with_mass,
                 )
                 self._steps += 1
                 ot, oc = np.asarray(out_tokens), np.asarray(out_count)
@@ -1310,7 +1340,7 @@ class DecodeEngine:
                         self._advance_guide_mirror(slot, t)
             elif self.pp_state is not None:
                 (self._tokens, self._cache, self._rng, self._seen,
-                 self._guide) = _pp_engine_step(
+                 self._guide, self._accum) = _pp_engine_step(
                     self.pp_state,
                     self.config,
                     self._cache,
@@ -1324,6 +1354,8 @@ class DecodeEngine:
                     jnp.asarray(self._rep),
                     self._seen,
                     self._guide,
+                    self._accum,
+                    self._with_mass,
                 )
                 self._steps += 1
                 toks = np.asarray(self._tokens)

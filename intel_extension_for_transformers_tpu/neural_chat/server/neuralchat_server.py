@@ -950,12 +950,6 @@ class NeuralChatServerExecutor:
                 tp=int(pp_cfg.get("tp", 1)),
             )
             pp_state = build_pp_serve_state(params, model_config, mesh)
-            if kv_kwargs.get("kv_policy") == "h2o":
-                logger.warning(
-                    "pipeline_parallel serving drops kv_policy=h2o "
-                    "(no attention mass under pp); sink composes"
-                )
-                kv_kwargs = {}
         if serving.get("autotune_layouts"):
             # per-shape khalf/w32 WOQ dispatch table, measured once on the
             # live chip and replayed from ~/.cache (reference analogue:

@@ -168,7 +168,7 @@ def pp_init_cache(state: PPServeState, config, batch: int, max_len: int,
     )
 
 
-@partial(jax.jit, static_argnames=("state", "config"))
+@partial(jax.jit, static_argnames=("state", "config", "with_mass"))
 def pp_apply(
     state: PPServeState,
     config,
@@ -176,13 +176,21 @@ def pp_apply(
     cache: PPCache,
     n_valid: jax.Array,  # (B,) — how far each slot's length advances
     write_mask: jax.Array,  # (B,) bool — slots whose cache commits
+    with_mass: bool = False,
 ):
-    """Forward (B, T) tokens through the pipelined stack → (logits, cache).
+    """Forward (B, T) tokens through the pipelined stack → (logits, cache)
+    [, mass].
 
     Same cache contract as models.llama.llama_apply, vectorized per slot:
     slot b's K/V write at [length[b], length[b]+T) and its length advances by
     n_valid[b] (pads past it are overwritten before any query attends them);
-    slots outside write_mask neither write nor advance."""
+    slots outside write_mask neither write nor advance.
+
+    with_mass=True additionally returns per-key attention mass
+    (B, T, Smax) f32 summed over layers and heads — the H2O statistic the
+    single-device path taps via ops.layers.set_mass_tap, here collected on
+    each stage's own commit tick and psum'd over pp (layers) and tp
+    (heads)."""
     mesh = state.mesh
     B, T = ids.shape
     S = mesh.shape["pp"]
@@ -256,6 +264,10 @@ def pp_apply(
         ) * (1.0 / hd**0.5)
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
         probs = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
+        # H2O statistic: per-key mass summed over this shard's heads
+        # (psum over tp/pp happens once at the stage boundary)
+        mass_l = (jnp.sum(probs.astype(jnp.float32), axis=1)
+                  if with_mass else None)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v_all,
                          preferred_element_type=h.dtype)
         attn = jnp.einsum(
@@ -274,7 +286,7 @@ def pp_apply(
 
         y = jax.nn.silu(lin2(mlp["gate"], xn2)) * lin2(mlp["up"], xn2)
         h = h + jax.lax.psum(lin2(mlp["down"], y), "tp")
-        return h, kl, vl, kls, vls
+        return h, kl, vl, kls, vls, mass_l
 
     quantized = cache.k_scale is not None
 
@@ -296,25 +308,27 @@ def pp_apply(
         def stage_compute(h, k_st, v_st, ks_st, vs_st):
             def body(h, inputs):
                 layer, kl, vl, kls, vls = inputs
-                h, kl, vl, kls, vls = layer_fwd(
+                h, kl, vl, kls, vls, mass_l = layer_fwd(
                     layer, kl, vl, kls, vls, h, cos, sin, mask, posmat,
                     wmask_b,
                 )
-                return h, (kl, vl, kls, vls)
+                return h, (kl, vl, kls, vls, mass_l)
 
-            h, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+            h, (k_new, v_new, ks_new, vs_new, mass_ls) = jax.lax.scan(
                 body, h, (stage_params, k_st, v_st, ks_st, vs_st)
             )
-            return h, k_new, v_new, ks_new, vs_new
+            mass_st = jnp.sum(mass_ls, axis=0) if with_mass else None
+            return h, k_new, v_new, ks_new, vs_new, mass_st
 
         def commit_sel(commit, new, old):
             return None if old is None else jnp.where(commit, new, old)
 
         buf = x
         h_out = x
+        mass_acc = None
         perm = [(i, (i + 1) % S) for i in range(S)]
         for tick in range(S):
-            h_out, k_new, v_new, ks_new, vs_new = stage_compute(
+            h_out, k_new, v_new, ks_new, vs_new, mass_new = stage_compute(
                 buf, k_st, v_st, ks_st, vs_st
             )
             commit = s == tick  # each rank owns exactly one tick
@@ -322,12 +336,22 @@ def pp_apply(
             v_st = jnp.where(commit, v_new, v_st)
             ks_st = commit_sel(commit, ks_new, ks_st)
             vs_st = commit_sel(commit, vs_new, vs_st)
+            if with_mass:
+                # the mass from a stage's layers is valid only on its own
+                # tick (the hidden state is the real one then)
+                mass_acc = (
+                    jnp.where(commit, mass_new, 0.0) if mass_acc is None
+                    else mass_acc + jnp.where(commit, mass_new, 0.0)
+                )
             if S > 1:
                 buf = jax.lax.ppermute(h_out, "pp", perm)
         final = jax.lax.psum(jnp.where(s == S - 1, h_out, 0.0), "pp")
+        out = [final, k_st[None], v_st[None]]
         if quantized:
-            return final, k_st[None], v_st[None], ks_st[None], vs_st[None]
-        return final, k_st[None], v_st[None]
+            out += [ks_st[None], vs_st[None]]
+        if with_mass:
+            out.append(jax.lax.psum(jax.lax.psum(mass_acc, "tp"), "pp"))
+        return tuple(out)
 
     cspec = P("pp", None, None, None, "tp", None)
     sspec = P("pp", None, None, None, "tp")
@@ -339,17 +363,19 @@ def pp_apply(
         in_specs += [sspec, sspec]
     operands += [x, cos, sin, mask, posmat, write_mask]
     in_specs += [P()] * 6
-    out_specs = (
-        (P(), cspec, cspec, sspec, sspec) if quantized
-        else (P(), cspec, cspec)
-    )
-    result = jax.shard_map(
+    out_specs = [P(), cspec, cspec]
+    if quantized:
+        out_specs += [sspec, sspec]
+    if with_mass:
+        out_specs.append(P())
+    result = list(jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=out_specs,
+        out_specs=tuple(out_specs),
         check_vma=False,
-    )(*operands)
+    )(*operands))
+    mass = result.pop() if with_mass else None
     if quantized:
         hidden, new_k, new_v, new_ks, new_vs = result
     else:
@@ -364,8 +390,11 @@ def pp_apply(
     length = jnp.where(
         write_mask, cache.length + n_valid.astype(jnp.int32), cache.length
     )
-    return logits, PPCache(k=new_k, v=new_v, length=length,
-                           k_scale=new_ks, v_scale=new_vs)
+    new_cache = PPCache(k=new_k, v=new_v, length=length,
+                        k_scale=new_ks, v_scale=new_vs)
+    if with_mass:
+        return logits, new_cache, mass
+    return logits, new_cache
 
 
 @partial(jax.jit, static_argnames=("rope_spec",))
@@ -435,19 +464,34 @@ def pp_compact_slot(cache: PPCache, slot, keep_idx, rope_spec):
     )
 
 
-@partial(jax.jit, static_argnames=("state", "config"))
-def pp_prefill_chunk(state, config, cache, chunk, slot, n_valid):
+@partial(jax.jit, static_argnames=("state", "config", "with_mass"))
+def pp_prefill_chunk(state, config, cache, chunk, slot, n_valid, mass=None,
+                     with_mass: bool = False):
     """Prefill ONE (1, C) chunk of a joining slot IN PLACE in the pool cache
     (write_mask singles the slot out; other slots are untouched).
-    → (last-real-token logits (V,) f32, cache)."""
+    → (last-real-token logits (V,) f32, cache[, accumulated mass (Smax,)]).
+
+    with_mass mirrors models/engine.py:_prefill_chunk — pad queries past
+    n_valid are masked out of the H2O statistic."""
     B = cache.length.shape[0]
     C = chunk.shape[1]
     ids = jnp.zeros((B, C), jnp.int32).at[slot].set(chunk[0])
     onehot = jnp.arange(B) == slot
-    logits, cache = pp_apply(
+    out = pp_apply(
         state, config, ids, cache,
         n_valid=jnp.where(onehot, n_valid, 0),
         write_mask=onehot,
+        with_mass=with_mass,
     )
+    if with_mass:
+        logits, cache, mass_all = out
+        qvalid = (jnp.arange(C) < n_valid)[:, None]
+        mass = mass + jnp.sum(
+            jnp.where(qvalid, mass_all[slot], 0.0), axis=0
+        )
+    else:
+        logits, cache = out
     last = logits[slot, jnp.clip(n_valid - 1, 0, C - 1)].astype(jnp.float32)
+    if with_mass:
+        return last, cache, mass
     return last, cache

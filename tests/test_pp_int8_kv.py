@@ -217,6 +217,27 @@ def test_pp_spec_int8_sink_all_compose(setup):
     assert eng._host_len[0] <= 32
 
 
+def test_pp_h2o_eviction_matches_single_device(setup):
+    """H2O heavy-hitter eviction under pp: the pipelined step surfaces
+    per-key attention mass (pp_apply with_mass), the engine accumulates it
+    per slot, and eviction keeps heavy+recent rows — greedy output tracks
+    the single-device h2o engine."""
+    params, config, mesh, state = setup
+    kw = dict(max_slots=2, max_len=32, kv_policy="h2o", kv_heavy=8,
+              kv_recent=12, prefill_chunk=8)
+    eng_pp = DecodeEngine(params, config, pp_state=state, **kw)
+    out_pp = _drain(eng_pp, [[7, 3, 11], [5, 2]], 40)
+    assert all(len(o) == 40 for o in out_pp)
+    assert eng_pp._compactions >= 2
+    assert all(l <= 32 for l in eng_pp._host_len[:2])
+
+    eng_sd = DecodeEngine(params, config, **kw)
+    out_sd = _drain(eng_sd, [[7, 3, 11], [5, 2]], 40)
+    for a, b in zip(out_pp, out_sd):
+        same = np.mean(np.array(a) == np.array(b))
+        assert same >= 0.9, (same, a, b)
+
+
 def test_server_yaml_pipeline_parallel(setup):
     """serving_config.pipeline_parallel builds the pp×tp engine from YAML
     (the config-surface path of the library-level pp_state)."""

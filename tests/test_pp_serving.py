@@ -102,13 +102,11 @@ def test_pp_engine_greedy_parity(setup):
 
 
 def test_pp_engine_rejects_unsupported_combos(setup):
-    # int8 KV now composes with pp (tests/test_pp_int8_kv.py); kv policies
-    # and speculative drafts still do not
+    # int8 KV, sink/h2o eviction, and speculative drafts all compose with
+    # pp now (tests/test_pp_int8_kv.py); what remains invalid is an
+    # unsupported KV dtype and unknown policies
     params, config, mesh, state = setup
-    with pytest.raises(ValueError):
-        DecodeEngine(params, config, pp_state=state, kv_policy="sink")
     with pytest.raises(ValueError):
         DecodeEngine(params, config, pp_state=state, kv_dtype="float16")
     with pytest.raises(ValueError):
-        DecodeEngine(params, config, pp_state=state,
-                     draft_params=params, draft_config=config)
+        DecodeEngine(params, config, pp_state=state, kv_policy="nope")
