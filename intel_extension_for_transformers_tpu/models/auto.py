@@ -61,8 +61,26 @@ MODEL_CONFIG_NAME = "tpu_model_config.json"
 _ENCODER_TYPES = {"bert", "roberta", "bge", "minilm"}
 _LLAMA_TYPES = {"llama", "mistral", "qwen2"}  # llama-architecture family
 # generic-decoder families (models/decoder.py; reference model_type menu
-# modeling_auto.py:325-347)
-_GENERIC_TYPES = {"gptj", "gpt_neox", "opt", "bloom", "mpt", "falcon", "phi", "gpt_bigcode"}
+# modeling_auto.py:325-347) — derived from the converter registry so new
+# families (stablelm/chatglm/gemma/baichuan/qwen/… and aliases) route here
+# automatically instead of falling through to the llama converter.
+def _generic_types() -> set:
+    from intel_extension_for_transformers_tpu.models.hf_convert import (
+        _DECODER_CONVERTERS,
+    )
+
+    return set(_DECODER_CONVERTERS)
+
+
+class _GenericTypes:
+    def __contains__(self, model_type) -> bool:
+        return model_type in _generic_types()
+
+    def __iter__(self):
+        return iter(sorted(_generic_types()))
+
+
+_GENERIC_TYPES = _GenericTypes()
 
 
 def _config_to_dict(cfg) -> dict:

@@ -114,6 +114,8 @@ def llama_params_from_hf(hf_model) -> tuple[dict, "LlamaConfig"]:
     else:  # tied embeddings
         params["lm_head"] = {"kernel": jnp.asarray(_np(sd[pre + "embed_tokens.weight"]).T)}
 
+    q_rows = config.num_attention_heads * config.head_dim
+    kv_rows = config.num_key_value_heads * config.head_dim
     for li in range(config.num_hidden_layers):
         p = f"{pre}layers.{li}."
         if config.num_local_experts > 0:
@@ -137,21 +139,42 @@ def llama_params_from_hf(hf_model) -> tuple[dict, "LlamaConfig"]:
                     ),
                 },
             }
+        elif p + "mlp.gate_up_proj.weight" in sd:
+            # Phi-3 fuses [gate; up] into one projection
+            # (reference model_type menu "phi3": modeling_auto.py:325-347)
+            gu = _np(sd[p + "mlp.gate_up_proj.weight"])  # (2*ffn, H)
+            ffn = gu.shape[0] // 2
+            mlp = {
+                "gate": {"kernel": jnp.asarray(gu[:ffn].T)},
+                "up": {"kernel": jnp.asarray(gu[ffn:].T)},
+                "down": _lin(sd, p + "mlp.down_proj"),
+            }
         else:
             mlp = {
                 "gate": _lin(sd, p + "mlp.gate_proj"),
                 "up": _lin(sd, p + "mlp.up_proj"),
                 "down": _lin(sd, p + "mlp.down_proj"),
             }
+        if p + "self_attn.qkv_proj.weight" in sd:
+            # Phi-3 fuses [q; k; v] into one projection
+            w = _np(sd[p + "self_attn.qkv_proj.weight"])
+            attn = {
+                "q": {"kernel": jnp.asarray(w[:q_rows].T)},
+                "k": {"kernel": jnp.asarray(w[q_rows : q_rows + kv_rows].T)},
+                "v": {"kernel": jnp.asarray(w[q_rows + kv_rows :].T)},
+                "o": _lin(sd, p + "self_attn.o_proj"),
+            }
+        else:
+            attn = {
+                "q": _lin(sd, p + "self_attn.q_proj"),
+                "k": _lin(sd, p + "self_attn.k_proj"),
+                "v": _lin(sd, p + "self_attn.v_proj"),
+                "o": _lin(sd, p + "self_attn.o_proj"),
+            }
         params["layers"].append(
             {
                 "input_norm": jnp.asarray(_np(sd[p + "input_layernorm.weight"])),
-                "attention": {
-                    "q": _lin(sd, p + "self_attn.q_proj"),
-                    "k": _lin(sd, p + "self_attn.k_proj"),
-                    "v": _lin(sd, p + "self_attn.v_proj"),
-                    "o": _lin(sd, p + "self_attn.o_proj"),
-                },
+                "attention": attn,
                 "post_norm": jnp.asarray(
                     _np(sd[p + "post_attention_layernorm.weight"])
                 ),
@@ -841,3 +864,154 @@ def _convert_gemma(hc, sd):
 
 
 _DECODER_CONVERTERS["gemma"] = _convert_gemma
+
+
+def _convert_baichuan(hc, sd):
+    """Baichuan 7B/13B (reference model_type menu "baichuan":
+    modeling_auto.py:325-347; neural-speed baichuan graph).
+
+    Llama-style blocks (RMSNorm, SwiGLU, no biases) with QKV fused into one
+    W_pack projection of [q; k; v] rows. 7B rotates the full head_dim
+    (half-split convention); 13B uses ALiBi instead of RoPE — detected from
+    `position_embedding` when the checkpoint config carries it, else by the
+    13B geometry (hidden_size ≥ 5120)."""
+    from intel_extension_for_transformers_tpu.models.decoder import DecoderConfig
+
+    pos = str(getattr(hc, "position_embedding", "")).lower()
+    if pos not in ("rope", "alibi"):
+        pos = "alibi" if hc.hidden_size >= 5120 else "rope"
+    config = DecoderConfig(
+        model_type="baichuan",
+        vocab_size=hc.vocab_size,
+        hidden_size=hc.hidden_size,
+        num_hidden_layers=hc.num_hidden_layers,
+        num_attention_heads=hc.num_attention_heads,
+        num_key_value_heads=hc.num_attention_heads,
+        intermediate_size=hc.intermediate_size,
+        max_position_embeddings=getattr(
+            hc, "max_position_embeddings", getattr(hc, "model_max_length", 4096)
+        ),
+        pos_embedding=pos,
+        rotary_pct=1.0,
+        rotary_interleaved=False,
+        rope_theta=getattr(hc, "rope_theta", 10000.0),
+        norm_type="rmsnorm",
+        norm_eps=hc.rms_norm_eps,
+        activation="silu",
+        gated_mlp=True,
+        attention_bias=False,
+        mlp_bias=False,
+        tie_word_embeddings=False,
+    )
+    pre = "model." if any(k.startswith("model.") for k in sd) else ""
+    params = {
+        "embed_tokens": jnp.asarray(_np(sd[pre + "embed_tokens.weight"])),
+        "layers": [],
+        "final_norm": {"scale": jnp.asarray(_np(sd[pre + "norm.weight"]))},
+        "lm_head": _lin(sd, "lm_head"),
+    }
+    H = hc.hidden_size
+    for li in range(config.num_hidden_layers):
+        p = f"{pre}layers.{li}."
+        w = _np(sd[p + "self_attn.W_pack.weight"])  # (3H, H): [q; k; v]
+        params["layers"].append(
+            {
+                "ln1": _norm_p(sd, p + "input_layernorm"),
+                "ln2": _norm_p(sd, p + "post_attention_layernorm"),
+                "attention": {
+                    "q": {"kernel": jnp.asarray(w[:H].T)},
+                    "k": {"kernel": jnp.asarray(w[H : 2 * H].T)},
+                    "v": {"kernel": jnp.asarray(w[2 * H :].T)},
+                    "o": _lin(sd, p + "self_attn.o_proj"),
+                },
+                "mlp": {
+                    "gate": _lin(sd, p + "mlp.gate_proj"),
+                    "up": _lin(sd, p + "mlp.up_proj"),
+                    "down": _lin(sd, p + "mlp.down_proj"),
+                },
+            }
+        )
+    return params, config
+
+
+_DECODER_CONVERTERS["baichuan"] = _convert_baichuan
+
+
+def _convert_qwen(hc, sd):
+    """Qwen v1 (reference model_type menu "qwen": modeling_auto.py:325-347;
+    neural-speed qwen graph).
+
+    GPT-style naming (transformer.h.N) over a llama-style block: RMSNorm
+    ln_1/ln_2, fused biased c_attn = [q; k; v], SwiGLU with gate stored as
+    mlp.w2 and up as mlp.w1 (Qwen computes silu(w2(x)) * w1(x)), full-head
+    half-split rotary. `intermediate_size` in Qwen configs is 2× the actual
+    FFN width, so the width is read off the weights instead."""
+    from intel_extension_for_transformers_tpu.models.decoder import DecoderConfig
+
+    ffn = _np(sd["transformer.h.0.mlp.w1.weight"]).shape[0]
+    config = DecoderConfig(
+        model_type="qwen",
+        vocab_size=hc.vocab_size,
+        hidden_size=hc.hidden_size,
+        num_hidden_layers=hc.num_hidden_layers,
+        num_attention_heads=hc.num_attention_heads,
+        num_key_value_heads=hc.num_attention_heads,
+        intermediate_size=ffn,
+        max_position_embeddings=getattr(hc, "seq_length", 2048),
+        pos_embedding="rope",
+        rotary_pct=1.0,
+        rotary_interleaved=False,
+        rope_theta=getattr(hc, "rotary_emb_base", 10000.0),
+        norm_type="rmsnorm",
+        norm_eps=getattr(hc, "layer_norm_epsilon", 1e-6),
+        activation="silu",
+        gated_mlp=True,
+        attention_bias=True,
+        mlp_bias=False,
+        tie_word_embeddings=False,
+    )
+    H = hc.hidden_size
+    params = {
+        "embed_tokens": jnp.asarray(_np(sd["transformer.wte.weight"])),
+        "layers": [],
+        "final_norm": _norm_p(sd, "transformer.ln_f"),
+        "lm_head": _lin(sd, "lm_head"),
+    }
+    for li in range(config.num_hidden_layers):
+        p = f"transformer.h.{li}."
+        w = _np(sd[p + "attn.c_attn.weight"])  # (3H, H): [q; k; v]
+        b = _np(sd[p + "attn.c_attn.bias"]) if p + "attn.c_attn.bias" in sd else None
+        attn = {}
+        for name, j in (("q", 0), ("k", 1), ("v", 2)):
+            attn[name] = {"kernel": jnp.asarray(w[j * H : (j + 1) * H].T)}
+            if b is not None:
+                attn[name]["bias"] = jnp.asarray(b[j * H : (j + 1) * H])
+        attn["o"] = _lin(sd, p + "attn.c_proj")
+        params["layers"].append(
+            {
+                "ln1": _norm_p(sd, p + "ln_1"),
+                "ln2": _norm_p(sd, p + "ln_2"),
+                "attention": attn,
+                "mlp": {
+                    "gate": _lin(sd, p + "mlp.w2"),
+                    "up": _lin(sd, p + "mlp.w1"),
+                    "down": _lin(sd, p + "mlp.c_proj"),
+                },
+            }
+        )
+    return params, config
+
+
+_DECODER_CONVERTERS["qwen"] = _convert_qwen
+
+# Reference model_type menu aliases (modeling_auto.py:325-347): checkpoints
+# published under these names are architecture-identical to a family above.
+_DECODER_ALIASES = {
+    "dolly": "gpt_neox",  # databricks/dolly-v2-* are GPT-NeoX finetunes
+    "polyglot": "gpt_neox",  # EleutherAI/polyglot-ko-*
+    "chatglm2": "chatglm",
+    "chatglm3": "chatglm",
+    "starcoder": "gpt_bigcode",
+}
+for _alias, _canon in _DECODER_ALIASES.items():
+    _DECODER_CONVERTERS.setdefault(_alias, _DECODER_CONVERTERS[_canon])

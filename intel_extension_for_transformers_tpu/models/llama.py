@@ -136,6 +136,13 @@ def _rope_scaling_from_hf(hf_config) -> Optional[tuple]:
 
 
 def llama_config_from_hf(hf_config) -> LlamaConfig:
+    pr = float(getattr(hf_config, "partial_rotary_factor", 1.0) or 1.0)
+    if pr != 1.0:
+        raise ValueError(
+            "llama-family path rotates the full head_dim; "
+            f"partial_rotary_factor={pr} checkpoints belong to the generic "
+            "decoder (models/decoder.py rotary_pct)"
+        )
     return LlamaConfig(
         num_local_experts=getattr(hf_config, "num_local_experts", 0),
         num_experts_per_tok=getattr(hf_config, "num_experts_per_tok", 2),
