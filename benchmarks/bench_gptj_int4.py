@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-BASELINES_MS = {"gptj": 21.56, "mpt": 34.76, "falcon": 35.84, "llama2": None}
+BASELINES_MS = {"gptj": 21.56, "mpt": 34.76, "falcon": 35.84,
+                "gpt_neox": 60.35, "llama2": None}
 
 
 _KEY = [0]
@@ -149,7 +150,7 @@ def build_params(config, rng, group_size=128, dtype="bfloat16"):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--arch", default="gptj",
-                   choices=["gptj", "mpt", "falcon", "llama2"])
+                   choices=["gptj", "mpt", "falcon", "gpt_neox", "llama2"])
     p.add_argument("--prompt-len", type=int, default=32)
     p.add_argument("--decode-tokens", type=int, default=32)
     p.add_argument("--batch", type=int, default=1)
@@ -176,6 +177,7 @@ def main():
         "gptj": DecoderConfig.gptj_6b,
         "mpt": DecoderConfig.mpt_7b,
         "falcon": DecoderConfig.falcon_7b,
+        "gpt_neox": DecoderConfig.gpt_neox_20b,
         "llama2": LlamaConfig.llama2_7b,
     }[args.arch]()
 
