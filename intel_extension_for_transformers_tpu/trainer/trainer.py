@@ -375,6 +375,7 @@ class NLPTrainer:
         tokenizer=None,
         accuracy_criterion: float = 0.01,
         fallback_configs=None,
+        metric=None,
     ):
         """PTQ directly, or QAT (straight-through fake quant during training,
         then real quantization) for QuantAwareTrainingConfig
@@ -422,6 +423,15 @@ class NLPTrainer:
             params, _, _ = self._run(loss_fn, self.params)
             self.params = params
 
+        relative = True
+        if metric is not None:
+            # reference-style Metric spec (transformers/utils/metrics.py:19,
+            # mirrored in transformers.utils.metrics here): its criterion IS
+            # the accuracy gate, and is_relative selects relative-vs-absolute
+            # drop semantics
+            accuracy_criterion = metric.criterion
+            relative = bool(getattr(metric, "is_relative", True))
+
         if not eval_tasks:
             return quantize_model(self.params, quant_config, calib_inputs=calib_inputs)
         return self._quantize_with_accuracy_gate(
@@ -431,11 +441,12 @@ class NLPTrainer:
             tokenizer=tokenizer,
             accuracy_criterion=accuracy_criterion,
             fallback_configs=fallback_configs,
+            relative=relative,
         )
 
     def _quantize_with_accuracy_gate(
         self, quant_config, calib_inputs, *, eval_tasks, tokenizer,
-        accuracy_criterion, fallback_configs,
+        accuracy_criterion, fallback_configs, relative=True,
     ):
         import dataclasses
 
@@ -480,7 +491,9 @@ class NLPTrainer:
         for cand in candidates:
             qmodel = quantize_model(self.params, cand, calib_inputs=calib_inputs)
             q_acc, q_res = score(qmodel.params)
-            drop = (base_acc - q_acc) / max(abs(base_acc), 1e-9)
+            drop = base_acc - q_acc
+            if relative:
+                drop = drop / max(abs(base_acc), 1e-9)
             ok = drop <= accuracy_criterion
             report["attempts"].append(
                 {"config": type(cand).__name__,
