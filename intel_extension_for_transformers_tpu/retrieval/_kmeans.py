@@ -34,6 +34,66 @@ def _cluster_counts(assign, C):
     return jnp.bincount(assign, length=C)
 
 
+@jax.jit
+def _rank_in_group(assign):
+    """Rank of each row among rows with the same value (stable, static
+    shapes): sort by value, positions within a run are consecutive."""
+    n = assign.shape[0]
+    order = jnp.argsort(assign, stable=True)
+    sorted_a = jnp.take(assign, order)
+    idx = jnp.arange(n)
+    run_start = jnp.where(
+        jnp.concatenate([jnp.array([True]), sorted_a[1:] != sorted_a[:-1]]),
+        idx, 0,
+    )
+    run_start = jax.lax.associative_scan(jnp.maximum, run_start)
+    rank_sorted = idx - run_start
+    return jnp.zeros_like(assign).at[order].set(rank_sorted)
+
+
+@partial(jax.jit, static_argnames=("C", "rounds"))
+def _assign_constrained(x, cent, cap, C, rounds: int = 4):
+    """Capacity-constrained assignment: every point lands in one of its
+    `rounds` nearest clusters if one has room, else in guaranteed free
+    capacity (so counts ≤ cap ALWAYS, no point dropped). Fully vectorized —
+    no per-point host loop; same-cluster contention within a round is
+    serialized by rank-in-group.
+
+    The balanced-k-means move of the constrained quantizers FAISS-style
+    systems use at 100M scale, recast for the TPU: R capped rounds + a
+    free-slot searchsorted fallback instead of a sequential auction."""
+    n = x.shape[0]
+    d = (
+        jnp.sum(x**2, axis=1, keepdims=True)
+        - 2.0 * x @ cent.T
+        + jnp.sum(cent**2, axis=1)[None, :]
+    )
+    _, topk = jax.lax.top_k(-d, rounds)  # (n, R)
+    assign = jnp.zeros((n,), jnp.int32)
+    placed = jnp.zeros((n,), bool)
+    fill = jnp.zeros((C,), jnp.int32)
+    for r in range(rounds):
+        cand = topk[:, r].astype(jnp.int32)
+        a = jnp.where(placed, C, cand)  # C = sentinel for already-placed
+        sl = jnp.take(fill, jnp.clip(a, 0, C - 1)) + _rank_in_group(a)
+        ok = (~placed) & (sl < cap)
+        assign = jnp.where(ok, cand, assign)
+        fill = fill + jnp.bincount(
+            jnp.where(ok, cand, C), length=C + 1
+        )[:C].astype(jnp.int32)
+        placed = placed | ok
+    # leftovers → global free capacity (cap·C ≥ n guarantees room): the
+    # j-th leftover takes the j-th slot of the concatenated free-slot space
+    free = jnp.maximum(cap - fill, 0)
+    cum = jnp.cumsum(free)
+    leftover_rank = jnp.cumsum(~placed) - 1  # rank among leftovers
+    fallback = jnp.searchsorted(cum, leftover_rank, side="right").astype(
+        jnp.int32
+    )
+    assign = jnp.where(placed, assign, jnp.clip(fallback, 0, C - 1))
+    return assign
+
+
 def kmeans(
     sample,
     n_clusters: int,
@@ -42,6 +102,8 @@ def kmeans(
     normalize: bool = False,
     balance_rounds: int = 2,
     balance_ratio: float = 4.0,
+    constrained: bool = False,
+    cap_slack: float = 1.1,
 ) -> jax.Array:
     """→ (C, D) f32 centroids. Host loop, device distance/update steps.
 
@@ -49,15 +111,27 @@ def kmeans(
     block table is C × max_fill), so after Lloyd convergence clusters larger
     than balance_ratio× the mean are SPLIT (their centroid duplicated with
     ±ε jitter, replacing the smallest clusters) and a few Lloyd steps
-    re-run. Bounds the skew without a constrained-assignment solver."""
+    re-run. Bounds the skew without a constrained-assignment solver.
+
+    constrained=True instead runs every Lloyd step with the capacity-
+    constrained assignment (`_assign_constrained`, per-cluster cap =
+    cap_slack·n/C): centroids converge to near-equal-MASS Voronoi regions,
+    so nearest-centroid inserts stay balanced by construction — the
+    exact-memory option for 100M-scale builds (COVERAGE.md gap #1)."""
     x = jnp.asarray(sample, jnp.float32)
     n = x.shape[0]
     C = min(n_clusters, n)
     rng = np.random.default_rng(seed)
     cent = x[jnp.asarray(rng.choice(n, C, replace=False))]
+    cap = int(np.ceil(cap_slack * n / C)) if constrained else 0
     for _ in range(iters):
-        assign = _nearest_centroid(x, cent)
+        if constrained:
+            assign = _assign_constrained(x, cent, cap, C)
+        else:
+            assign = _nearest_centroid(x, cent)
         cent = _update_centroids(x, assign, C, cent)
+    if constrained:
+        balance_rounds = 0  # capacity already enforced every step
 
     for _ in range(balance_rounds):
         assign = _nearest_centroid(x, cent)

@@ -649,8 +649,9 @@ class ShardedIVFIndex:
     def __len__(self):
         return self.size
 
-    def train(self, sample, iters: int = 10, seed: int = 0) -> None:
-        """Train per-shard quantizers (host loop over shards; small C·D)."""
+    def train(self, sample, iters: int = 10, seed: int = 0, **kmeans_kw) -> None:
+        """Train per-shard quantizers (host loop over shards; small C·D).
+        Extra kwargs reach `_kmeans.kmeans` (e.g. constrained=True)."""
         x = np.asarray(sample, np.float32)
         if self.metric == "cosine":
             x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
@@ -661,7 +662,7 @@ class ShardedIVFIndex:
             if len(shard_sample) < self.n_lists:
                 shard_sample = x
             cents.append(
-                np.asarray(kmeans(shard_sample, self.n_lists, iters=iters, seed=seed + p))
+                np.asarray(kmeans(shard_sample, self.n_lists, iters=iters, seed=seed + p, **kmeans_kw))
             )
         C = min(c.shape[0] for c in cents)
         self.n_lists = C
