@@ -37,6 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from intel_extension_for_transformers_tpu.ops.layers import (
     apply_rotary,
+    layer_norm,
     rms_norm,
     rope_inv_freq,
     rotary_embedding,
@@ -68,74 +69,122 @@ jax.tree_util.register_dataclass(
 
 @dataclass(frozen=True, eq=False)  # eq=False → identity hash (static jit arg)
 class PPServeState:
-    """Stage/tp-sharded llama-family weights + the serving mesh (static)."""
+    """Stage/tp-sharded decoder weights + the serving mesh (static).
+
+    Covers the llama family AND the generic-decoder families
+    (models/decoder.py: GPT-J/NeoX/OPT/BLOOM/MPT/Falcon/Phi/BigCode/
+    StableLM/ChatGLM/Baichuan/Qwen-v1/Gemma) — `final_norm` holds a bare
+    scale (llama) or a {"scale"[, "bias"]} dict (decoder LayerNorm), and
+    `extras` carries the optional replicated leaves some families need
+    (lm_head bias, learned position table, BLOOM embedding norm)."""
 
     staged: dict  # layer tree with (S, L/S, ...) leaves, pp+tp sharded
     embed: jax.Array  # (V, H) replicated
-    final_norm: jax.Array
+    final_norm: object  # bare (H,) scale or {"scale"[, "bias"]} dict
     lm_head: jax.Array  # (H, V) replicated
     mesh: Mesh
+    extras: Optional[dict] = None
 
 
-def _llama_layer_specs(layer: dict) -> dict:
-    """PartitionSpec tree for ONE stacked-staged llama layer: every leaf has
-    leading (pp-sharded) stage + layer axes, then its own dims; attention
-    q/k/v and mlp gate/up shard their output dim over tp, o/down their input
-    dim (Megatron pairing — one psum per block)."""
+_COL = {"q", "k", "v", "gate", "up"}  # output-dim (column) parallel
+_ROW = {"o", "down"}  # input-dim (row) parallel → psum
 
-    def col(p):  # kernel (S, Lr, K, N) → N over tp; bias (S, Lr, N) → tp
-        out = {"kernel": P("pp", None, None, "tp")}
-        if "bias" in p:
-            out["bias"] = P("pp", None, "tp")
-        return out
 
-    def row(p):
-        out = {"kernel": P("pp", None, "tp", None)}
-        if "bias" in p:
-            out["bias"] = P("pp", None, None)
-        return out
+def _layer_specs(layer: dict, kv_replicated: bool = False,
+                 staged: bool = False) -> dict:
+    """PartitionSpec tree for ONE stacked-staged decoder layer: every leaf
+    has leading (pp-sharded) stage + layer axes, then its own dims;
+    attention q/k/v and mlp gate/up shard their output dim over tp, o/down
+    their input dim (Megatron pairing — one psum per block). Norm leaves
+    (bare arrays or {"scale","bias"} dicts) replicate over tp.
 
-    return {
-        "input_norm": P("pp", None, None),
-        "attention": {
-            "q": col(layer["attention"]["q"]),
-            "k": col(layer["attention"]["k"]),
-            "v": col(layer["attention"]["v"]),
-            "o": row(layer["attention"]["o"]),
-        },
-        "post_norm": P("pp", None, None),
-        "mlp": {
-            "gate": col(layer["mlp"]["gate"]),
-            "up": col(layer["mlp"]["up"]),
-            "down": row(layer["mlp"]["down"]),
-        },
-    }
+    kv_replicated: MQA families (num_key_value_heads == 1, e.g. Falcon-7B,
+    GPT-BigCode) keep k/v projections and cache replicated over tp — one KV
+    head cannot shard."""
+
+    def walk(node, name):
+        if isinstance(node, dict) and "kernel" in node:
+            if name in _COL:
+                t = None if (kv_replicated and name in ("k", "v")) else "tp"
+                out = {"kernel": P("pp", None, None, t)}
+                if "bias" in node:
+                    out["bias"] = P("pp", None, t)
+                return out
+            if name in _ROW:
+                out = {"kernel": P("pp", None, "tp", None)}
+                if "bias" in node:
+                    out["bias"] = P("pp", None, None)
+                return out
+        if isinstance(node, dict):
+            return {k: walk(v, k) for k, v in node.items()}
+        own = node.ndim - (2 if staged else 0)  # strip (S, Lr) if staged
+        return P("pp", None, *([None] * own))
+
+    return walk(layer, "")
+
+
+# kept under the old name for callers that imported it
+_llama_layer_specs = _layer_specs
+
+
+def _kv_layout(config, mesh: Mesh) -> bool:
+    """→ kv_replicated. Validates head divisibility for Megatron tp."""
+    tp = mesh.shape["tp"]
+    nh, nkv = config.num_attention_heads, config.num_key_value_heads
+    if nh % tp:
+        raise ValueError(
+            f"{nh} attention heads not divisible by tp={tp} — use a smaller "
+            f"tp (pure pp works for any head count)"
+        )
+    if nkv % tp == 0:
+        return False
+    if nkv == 1:
+        return True  # MQA: replicate the single KV head
+    raise ValueError(
+        f"num_key_value_heads={nkv} neither divisible by tp={tp} nor MQA"
+    )
 
 
 def build_pp_serve_state(params: dict, config, mesh: Mesh) -> PPServeState:
-    """Stack + stage + shard llama-family params for pp×tp serving."""
+    """Stack + stage + shard decoder params (llama-family or generic
+    DecoderConfig families) for pp×tp serving."""
     if getattr(config, "num_local_experts", 0):
         raise NotImplementedError("pp serving does not cover MoE yet")
     S = mesh.shape["pp"]
     L = config.num_hidden_layers
     if L % S:
         raise ValueError(f"{L} layers not divisible by pp={S}")
+    kv_replicated = _kv_layout(config, mesh)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["layers"])
     staged = jax.tree.map(
         lambda x: x.reshape(S, L // S, *x.shape[1:]), stacked
     )
-    specs = _llama_layer_specs(params["layers"][0])
+    specs = _layer_specs(params["layers"][0], kv_replicated)
     staged = jax.tree.map(
         lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), staged, specs
     )
     rep = NamedSharding(mesh, P())
+
+    def put_rep(tree):
+        return jax.tree.map(
+            lambda a: jax.device_put(jnp.asarray(a), rep), tree
+        )
+
     lm = params["lm_head"]["kernel"]
+    extras = {}
+    if "bias" in params["lm_head"]:
+        extras["lm_head_bias"] = put_rep(params["lm_head"]["bias"])
+    if "pos_embed" in params:
+        extras["pos_embed"] = put_rep(params["pos_embed"])
+    if "embed_norm" in params:
+        extras["embed_norm"] = put_rep(params["embed_norm"])
     return PPServeState(
         staged=staged,
-        embed=jax.device_put(jnp.asarray(params["embed_tokens"]), rep),
-        final_norm=jax.device_put(jnp.asarray(params["final_norm"]), rep),
-        lm_head=jax.device_put(jnp.asarray(lm), rep),
+        embed=put_rep(jnp.asarray(params["embed_tokens"])),
+        final_norm=put_rep(params["final_norm"]),
+        lm_head=put_rep(jnp.asarray(lm)),
         mesh=mesh,
+        extras=extras or None,
     )
 
 
@@ -144,9 +193,10 @@ def pp_init_cache(state: PPServeState, config, batch: int, max_len: int,
     mesh = state.mesh
     S = mesh.shape["pp"]
     Lr = config.num_hidden_layers // S
+    kv_tp = None if _kv_layout(config, mesh) else "tp"
     shape = (S, Lr, batch, max_len, config.num_key_value_heads,
              config.head_dim)
-    sh = NamedSharding(mesh, P("pp", None, None, None, "tp", None))
+    sh = NamedSharding(mesh, P("pp", None, None, None, kv_tp, None))
     quantized = dtype in ("int8", jnp.int8)
     buf_dtype = jnp.int8 if quantized else dtype
     zeros = jax.jit(
@@ -154,7 +204,7 @@ def pp_init_cache(state: PPServeState, config, batch: int, max_len: int,
     )
     scales = None
     if quantized:
-        ssh = NamedSharding(mesh, P("pp", None, None, None, "tp"))
+        ssh = NamedSharding(mesh, P("pp", None, None, None, kv_tp))
         scales = jax.jit(
             lambda: jnp.zeros(shape[:-1], jnp.float32), out_shardings=ssh
         )
@@ -166,6 +216,22 @@ def pp_init_cache(state: PPServeState, config, batch: int, max_len: int,
         k_scale=scales() if quantized else None,
         v_scale=scales() if quantized else None,
     )
+
+
+def _nrm(h, p, config, generic: bool):
+    """Final/embed/layer norm over a bare llama scale or a decoder
+    {"scale"[, "bias"]} dict, per the config's norm_type."""
+    if not generic:
+        return rms_norm(h, p, config.rms_norm_eps)
+    eps = config.norm_eps
+    if config.norm_type == "rmsnorm":
+        return rms_norm(h, p["scale"], eps)
+    if config.norm_type == "rmsnorm_1p":  # Gemma zero-centered weights
+        return rms_norm(h, p["scale"] + 1.0, eps)
+    b = p.get("bias")
+    if b is None:
+        b = jnp.zeros_like(p["scale"])
+    return layer_norm(h, p["scale"], b, eps)
 
 
 @partial(jax.jit, static_argnames=("state", "config", "with_mass"))
@@ -186,6 +252,12 @@ def pp_apply(
     n_valid[b] (pads past it are overwritten before any query attends them);
     slots outside write_mask neither write nor advance.
 
+    Dispatches on config type: LlamaConfig runs the flagship llama layer;
+    DecoderConfig runs the generic-family layer (rope partial/interleaved,
+    ALiBi, learned positions, LayerNorm±bias, parallel residual/shared-LN,
+    plain or gated MLP, proj biases, MQA-replicated KV) — mirroring
+    models/decoder.py:_decoder_layer inside the tp shard.
+
     with_mass=True additionally returns per-key attention mass
     (B, T, Smax) f32 summed over layers and heads — the H2O statistic the
     single-device path taps via ops.layers.set_mass_tap, here collected on
@@ -197,13 +269,47 @@ def pp_apply(
     tp = mesh.shape["tp"]
     nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
                    config.head_dim)
-    eps = config.rms_norm_eps
+    generic = hasattr(config, "pos_embedding")
+    kv_replicated = _kv_layout(config, mesh)
+    rope_on = (config.pos_embedding == "rope") if generic else True
+    rd = config.rotary_dim if generic else hd
+    interleaved = bool(generic and config.rotary_interleaved)
+    alibi = bool(generic and config.pos_embedding == "alibi")
 
     x = jnp.take(state.embed, ids, axis=0)  # (B, T, H)
     positions = cache.length[:, None] + jnp.arange(T)[None, :]  # (B, T)
-    cos, sin = rotary_embedding(
-        positions, hd, config.rope_theta, getattr(config, "rope_scaling", None)
-    )
+    if generic and config.embed_scale:
+        x = x * jnp.asarray(config.hidden_size, jnp.float32) ** 0.5
+    if generic and config.embedding_norm:
+        x = _nrm(x, state.extras["embed_norm"], config, generic)
+    if generic and config.pos_embedding == "learned":
+        x = x + jnp.take(
+            state.extras["pos_embed"],
+            positions + config.learned_pos_offset, axis=0,
+        ).astype(x.dtype)
+    if rope_on:
+        if generic:
+            inv = 1.0 / (
+                config.rope_theta
+                ** (jnp.arange(0, rd, 2, jnp.float32) / rd)
+            )
+            ang = positions.astype(jnp.float32)[..., None] * inv
+            cos, sin = jnp.cos(ang), jnp.sin(ang)  # (B, T, rd/2)
+        else:
+            cos, sin = rotary_embedding(
+                positions, hd, config.rope_theta,
+                getattr(config, "rope_scaling", None),
+            )
+    else:
+        cos = sin = jnp.zeros((1,), jnp.float32)  # unused placeholders
+    if alibi:
+        from intel_extension_for_transformers_tpu.models.decoder import (
+            alibi_slopes,
+        )
+
+        slopes = jnp.asarray(alibi_slopes(nh))  # (nh,), tp-sharded operand
+    else:
+        slopes = jnp.zeros((tp,), jnp.float32)
     Smax = cache.k.shape[3]
     ki = jnp.arange(Smax)[None, None, :]
     qi = positions[:, :, None]
@@ -215,28 +321,54 @@ def pp_apply(
     bidx = jnp.arange(B)
 
     def layer_fwd(layer, kl, vl, kls, vls, h, cos, sin, mask, posmat,
-                  wmask_b):
+                  wmask_b, slopes_l):
         """One tp-sharded decoder layer over local (B,T,H) + local cache
-        (B, Smax, Hkv/tp, D). Mirrors models/llama.py:_decoder_layer.
-        kls/vls (B, Smax, Hkv/tp) f32 present → int8 cache: quantize the
+        (B, Smax, Hkv[/tp], D). Mirrors models/llama.py:_decoder_layer
+        (llama) / models/decoder.py:_decoder_layer (generic families).
+        kls/vls (B, Smax, Hkv[/tp]) f32 present → int8 cache: quantize the
         new rows ONCE at write, dequantize on attend (same contract as the
         single-device int8 KV cache)."""
         att = layer["attention"]
-        xn = rms_norm(h, layer["input_norm"], eps)
+        n1 = layer["ln1"] if generic else layer["input_norm"]
+        xn = _nrm(h, n1, config, generic)
 
-        def lin(p):
-            y = jnp.einsum("btk,kn->btn", xn, p["kernel"].astype(xn.dtype),
-                           preferred_element_type=xn.dtype)
+        def lin(p, z=None):
+            zz = xn if z is None else z
+            y = jnp.einsum("btk,kn->btn", zz, p["kernel"].astype(zz.dtype),
+                           preferred_element_type=zz.dtype)
             if "bias" in p:
                 y = y + p["bias"].astype(y.dtype)
             return y
 
-        nh_l, nkv_l = nh // tp, nkv // tp
+        nh_l = nh // tp
+        nkv_l = nkv if kv_replicated else nkv // tp
         q = lin(att["q"]).reshape(B, T, nh_l, hd)
         k = lin(att["k"]).reshape(B, T, nkv_l, hd)
         v = lin(att["v"]).reshape(B, T, nkv_l, hd)
-        q = apply_rotary(q, cos, sin)
-        k = apply_rotary(k, cos, sin)
+        if rope_on and generic:
+
+            def rot(t):  # partial + optionally interleaved rotary
+                c = cos[:, :, None, :].astype(t.dtype)
+                s = sin[:, :, None, :].astype(t.dtype)
+                r = t[..., :rd]
+                if interleaved:  # GPT-J pairs
+                    x1, x2 = r[..., ::2], r[..., 1::2]
+                    rr = jnp.stack(
+                        [x1 * c - x2 * s, x2 * c + x1 * s], axis=-1
+                    ).reshape(r.shape)
+                else:  # NeoX half-split
+                    x1, x2 = jnp.split(r, 2, axis=-1)
+                    rr = jnp.concatenate(
+                        [x1 * c - x2 * s, x2 * c + x1 * s], axis=-1
+                    )
+                if rd < t.shape[-1]:
+                    return jnp.concatenate([rr, t[..., rd:]], axis=-1)
+                return rr
+
+            q, k = rot(q), rot(k)
+        elif rope_on:
+            q = apply_rotary(q, cos, sin)
+            k = apply_rotary(k, cos, sin)
 
         wm = wmask_b[:, None, None, None]
         if kls is not None:
@@ -262,6 +394,11 @@ def pp_apply(
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k_all, preferred_element_type=jnp.float32
         ) * (1.0 / hd**0.5)
+        if alibi:
+            dist = (ki[0] - posmat[:, :, None]).astype(jnp.float32)
+            logits = logits + (
+                slopes_l[None, :, None, None] * dist[:, None, :, :]
+            )
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
         probs = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
         # H2O statistic: per-key mass summed over this shard's heads
@@ -275,17 +412,53 @@ def pp_apply(
             att["o"]["kernel"].astype(h.dtype),
             preferred_element_type=h.dtype,
         )
-        h = h + jax.lax.psum(attn, "tp")
+        attn = jax.lax.psum(attn, "tp")
+        if "bias" in att["o"]:  # row-parallel bias: add ONCE, after psum
+            attn = attn + att["o"]["bias"].astype(attn.dtype)
 
         mlp = layer["mlp"]
-        xn2 = rms_norm(h, layer["post_norm"], eps)
 
         def lin2(p, z):
-            return jnp.einsum("btk,kn->btn", z, p["kernel"].astype(z.dtype),
-                              preferred_element_type=z.dtype)
+            y = jnp.einsum("btk,kn->btn", z, p["kernel"].astype(z.dtype),
+                           preferred_element_type=z.dtype)
+            if "bias" in p:  # column-parallel bias (local slice)
+                y = y + p["bias"].astype(y.dtype)
+            return y
 
-        y = jax.nn.silu(lin2(mlp["gate"], xn2)) * lin2(mlp["up"], xn2)
-        h = h + jax.lax.psum(lin2(mlp["down"], y), "tp")
+        def act(z):
+            if not generic:
+                return jax.nn.silu(z)
+            kind = config.activation
+            if kind == "relu":
+                return jax.nn.relu(z)
+            if kind == "silu":
+                return jax.nn.silu(z)
+            return jax.nn.gelu(z, approximate=(kind == "gelu_new"))
+
+        def mlp_out(mn):
+            if (not generic) or config.gated_mlp:
+                y = act(lin2(mlp["gate"], mn)) * lin2(mlp["up"], mn)
+            else:
+                y = act(lin2(mlp["up"], mn))
+            down = mlp["down"]
+            o = jax.lax.psum(
+                jnp.einsum("btk,kn->btn", y, down["kernel"].astype(y.dtype),
+                           preferred_element_type=y.dtype),
+                "tp",
+            )
+            if "bias" in down:  # row-parallel bias: once, after psum
+                o = o + down["bias"].astype(o.dtype)
+            return o
+
+        if generic and config.parallel_residual:
+            mn = xn if config.shared_ln else _nrm(
+                h, layer["ln2"], config, generic
+            )
+            h = h + attn + mlp_out(mn)
+        else:
+            h = h + attn
+            n2 = layer["ln2"] if generic else layer["post_norm"]
+            h = h + mlp_out(_nrm(h, n2, config, generic))
         return h, kl, vl, kls, vls, mass_l
 
     quantized = cache.k_scale is not None
@@ -293,14 +466,14 @@ def pp_apply(
     def shard_fn(*args):
         if quantized:
             (staged_local, k_local, v_local, ks_local, vs_local, x, cos,
-             sin, mask, posmat, wmask_b) = args
+             sin, mask, posmat, wmask_b, slopes_l) = args
         else:
             (staged_local, k_local, v_local, x, cos, sin, mask, posmat,
-             wmask_b) = args
+             wmask_b, slopes_l) = args
             ks_local = vs_local = None
         # locals arrive (1, Lr, ...) on the stage axis — drop it
         stage_params = jax.tree.map(lambda a: a[0], staged_local)
-        k_st, v_st = k_local[0], v_local[0]  # (Lr, B, Smax, Hkv/tp, D)
+        k_st, v_st = k_local[0], v_local[0]  # (Lr, B, Smax, Hkv[/tp], D)
         ks_st = ks_local[0] if quantized else None
         vs_st = vs_local[0] if quantized else None
         s = jax.lax.axis_index("pp")
@@ -310,7 +483,7 @@ def pp_apply(
                 layer, kl, vl, kls, vls = inputs
                 h, kl, vl, kls, vls, mass_l = layer_fwd(
                     layer, kl, vl, kls, vls, h, cos, sin, mask, posmat,
-                    wmask_b,
+                    wmask_b, slopes_l,
                 )
                 return h, (kl, vl, kls, vls, mass_l)
 
@@ -353,16 +526,17 @@ def pp_apply(
             out.append(jax.lax.psum(jax.lax.psum(mass_acc, "tp"), "pp"))
         return tuple(out)
 
-    cspec = P("pp", None, None, None, "tp", None)
-    sspec = P("pp", None, None, None, "tp")
-    pspec = _llama_layer_specs(state.staged)  # same tree shape as one layer
+    kv_tp = None if kv_replicated else "tp"
+    cspec = P("pp", None, None, None, kv_tp, None)
+    sspec = P("pp", None, None, None, kv_tp)
+    pspec = _layer_specs(state.staged, kv_replicated, staged=True)
     operands = [state.staged, cache.k, cache.v]
     in_specs = [pspec, cspec, cspec]
     if quantized:
         operands += [cache.k_scale, cache.v_scale]
         in_specs += [sspec, sspec]
-    operands += [x, cos, sin, mask, posmat, write_mask]
-    in_specs += [P()] * 6
+    operands += [x, cos, sin, mask, posmat, write_mask, slopes]
+    in_specs += [P()] * 6 + [P("tp")]
     out_specs = [P(), cspec, cspec]
     if quantized:
         out_specs += [sspec, sspec]
@@ -382,11 +556,13 @@ def pp_apply(
         hidden, new_k, new_v = result
         new_ks = new_vs = None
 
-    hidden = rms_norm(hidden, state.final_norm, eps)
+    hidden = _nrm(hidden, state.final_norm, config, generic)
     logits = jnp.einsum(
         "bth,hv->btv", hidden, state.lm_head.astype(hidden.dtype),
         preferred_element_type=hidden.dtype,
     )
+    if state.extras and "lm_head_bias" in state.extras:
+        logits = logits + state.extras["lm_head_bias"].astype(logits.dtype)
     length = jnp.where(
         write_mask, cache.length + n_valid.astype(jnp.int32), cache.length
     )
