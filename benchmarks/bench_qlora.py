@@ -39,6 +39,9 @@ def main():
     p.add_argument("--rank", type=int, default=8)
     p.add_argument("--tiny", action="store_true",
                    help="toy-geometry smoke run (CPU-friendly)")
+    p.add_argument("--no-remat", action="store_true",
+                   help="skip per-layer rematerialization (more activation "
+                        "HBM, one less forward pass in the backward)")
     args = p.parse_args()
 
     if args.tiny:
@@ -99,7 +102,8 @@ def main():
 
     def loss_fn(adapter, base, ids):
         merged = attach_lora(base, adapter, lora_cfg.scaling)
-        logits, _ = llama_apply(merged, config, ids, remat=True)
+        logits, _ = llama_apply(merged, config, ids,
+                                remat=not args.no_remat)
         return causal_lm_loss(logits, ids)
 
     grad_fn = jax.value_and_grad(loss_fn)
