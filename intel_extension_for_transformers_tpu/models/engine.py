@@ -48,6 +48,7 @@ iterator of tokens.
 
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 from dataclasses import dataclass, field, replace
@@ -58,6 +59,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
 
 from intel_extension_for_transformers_tpu.models.registry import get_apply_fn
 from intel_extension_for_transformers_tpu.models.llama import init_kv_cache
@@ -690,6 +693,7 @@ class EngineRequest:
     cancelled: bool = field(default=False)
 
     _DONE = object()
+    _FAILED = object()
 
     def cancel(self) -> None:
         """Abandon the request: its slot frees at the next decode step
@@ -699,11 +703,16 @@ class EngineRequest:
 
     def tokens(self) -> Iterator[int]:
         """Blocking iterator over generated token ids; stops early when the
-        request is cancelled."""
+        request is cancelled. Raises if the engine's step thread died — a
+        dead engine must FAIL consumers, never hang them."""
         while True:
             item = self.out.get()
             if item is EngineRequest._DONE:
                 return
+            if item is EngineRequest._FAILED:
+                raise RuntimeError(
+                    "DecodeEngine step thread died; see engine.fatal_error"
+                )
             yield item
 
 
@@ -820,6 +829,7 @@ class DecodeEngine:
         self._wake = threading.Event()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self.fatal_error: Optional[BaseException] = None
         self._steps = 0  # decode steps executed (for tests/metrics)
         self._compactions = 0  # KV evictions performed (for tests/metrics)
         self._chunks = 0  # prefill chunks processed (for tests/metrics)
@@ -842,6 +852,10 @@ class DecodeEngine:
     def submit(self, request: EngineRequest) -> EngineRequest:
         """Enqueue a request; its `tokens()` iterator starts yielding as soon
         as a slot frees up. Thread-safe."""
+        if self.fatal_error is not None:
+            raise RuntimeError(
+                "DecodeEngine step thread died"
+            ) from self.fatal_error
         request.prompt_ids = np.asarray(request.prompt_ids, np.int32).reshape(-1)
         if self.kv_policy is None and len(request.prompt_ids) >= self.max_len:
             # with a kv_policy the admission compacts BETWEEN prefill chunks,
@@ -850,6 +864,14 @@ class DecodeEngine:
                 f"prompt length {len(request.prompt_ids)} ≥ max_len {self.max_len}"
             )
         self._pending.put(request)
+        if self.fatal_error is not None:
+            # the step thread may have died between the check above and the
+            # put — drain so this request fails instead of waiting forever
+            try:
+                while True:
+                    self._pending.get_nowait().out.put(EngineRequest._FAILED)
+            except queue.Empty:
+                pass
         self._wake.set()
         return request
 
@@ -1246,6 +1268,29 @@ class DecodeEngine:
                 self._sync_guide_row(slot)
 
     def _loop(self) -> None:
+        """Step-thread entry: run the decode loop; if it dies, fail every
+        waiting consumer immediately instead of leaving them blocked on
+        queues that will never fill (found the hard way: a non-vmappable
+        op in a model's decode step used to hang generate() forever)."""
+        try:
+            self._loop_inner()
+        except Exception as exc:  # noqa: BLE001 — anything fatal
+            self.fatal_error = exc
+            logger.exception("engine step thread died")
+            for slot, req in enumerate(self._slots):
+                if req is not None:
+                    req.out.put(EngineRequest._FAILED)
+                    self._slots[slot] = None
+            if self._adm is not None:
+                self._adm["req"].out.put(EngineRequest._FAILED)
+                self._adm = None
+            try:
+                while True:
+                    self._pending.get_nowait().out.put(EngineRequest._FAILED)
+            except queue.Empty:
+                pass
+
+    def _loop_inner(self) -> None:
         while not self._stop.is_set():
             # begin at most one admission into a free, un-reserved slot
             if self._adm is None:

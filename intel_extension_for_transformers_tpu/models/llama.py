@@ -412,12 +412,6 @@ def _moe_mlp(mlp, x, config: LlamaConfig):
         jnp.sum(weights, axis=-1, keepdims=True), 1e-9
     )  # renormalize over the selected experts (Mixtral)
 
-    flat_expert = experts.reshape(-1)  # (M·k,)
-    order = jnp.argsort(flat_expert)  # group tokens by expert
-    token_of = order // k  # source token per sorted slot
-    xs = jnp.take(xt, token_of, axis=0)  # (M·k, H)
-    group_sizes = jnp.bincount(flat_expert, length=E).astype(jnp.int32)
-
     ex = mlp["experts"]
 
     def stack(w):
@@ -431,6 +425,32 @@ def _moe_mlp(mlp, x, config: LlamaConfig):
         if isinstance(w, QuantizedTensor):
             return dequantize_stacked(w, dtype=x.dtype)
         return w.astype(x.dtype)
+
+    if M <= 8:
+        # decode-size dense path: run ALL experts on the few tokens and
+        # weight by the (renormalized) top-k routing probs. At M this small
+        # the E tiny matmuls cost less than ragged_dot's sort machinery —
+        # and `lax.ragged_dot` cannot be vmapped over a slot pool (NYI in
+        # jax), which is exactly how the serving engine steps MoE slots
+        # (models/engine.py:_engine_step vmap over per-slot caches)
+        w_full = jnp.zeros((M, E), jnp.float32).at[
+            jnp.arange(M)[:, None], experts
+        ].set(weights)  # (M, E) — zero for unselected experts
+        g = jnp.einsum("mh,ehf->emf", xt, stack(ex["gate"]),
+                       preferred_element_type=jnp.float32)
+        u = jnp.einsum("mh,ehf->emf", xt, stack(ex["up"]),
+                       preferred_element_type=jnp.float32)
+        y = (jax.nn.silu(g) * u).astype(x.dtype)
+        o = jnp.einsum("emf,efh->emh", y, stack(ex["down"]),
+                       preferred_element_type=jnp.float32)  # (E, M, H)
+        out = jnp.einsum("emh,me->mh", o, w_full)
+        return out.astype(x.dtype).reshape(B, T, H)
+
+    flat_expert = experts.reshape(-1)  # (M·k,)
+    order = jnp.argsort(flat_expert)  # group tokens by expert
+    token_of = order // k  # source token per sorted slot
+    xs = jnp.take(xt, token_of, axis=0)  # (M·k, H)
+    group_sizes = jnp.bincount(flat_expert, length=E).astype(jnp.int32)
 
     g = jax.lax.ragged_dot(
         xs, stack(ex["gate"]), group_sizes,

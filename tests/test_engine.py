@@ -417,3 +417,64 @@ def test_server_engine_stream_sse(cb_server):
     assert status == 200
     text = data.decode()
     assert "data:" in text and "[DONE]" in text
+
+
+def test_engine_with_ep_sharded_moe():
+    """The slot pool serves an EXPERT-PARALLEL-sharded MoE model: expert
+    stacks shard over ep on the 8-dev mesh, greedy output identical to the
+    unsharded engine — the multi-chip MoE serving configuration (beyond the
+    reference, whose serving parallelism stops at AutoTP)."""
+    from intel_extension_for_transformers_tpu.models.llama import (
+        LlamaConfig,
+        llama_init_params,
+        llama_param_axes,
+    )
+    from intel_extension_for_transformers_tpu.parallel import (
+        create_mesh,
+        shard_params,
+    )
+
+    config = LlamaConfig.tiny(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_local_experts=4, num_experts_per_tok=2,
+    )
+    params = llama_init_params(jax.random.PRNGKey(7), config)
+    mesh = create_mesh(dp=2, ep=4)
+    sharded = shard_params(params, llama_param_axes(config), mesh)
+    leaf = sharded["layers"][0]["mlp"]["experts"]["gate"]
+    assert not leaf.sharding.is_fully_replicated
+
+    eng = DecodeEngine(sharded, config, max_slots=2, max_len=64).start()
+    try:
+        prompt = np.array([5, 17, 99, 3], np.int32)
+        ref = generate(params, config, prompt,
+                       SamplingConfig(max_new_tokens=8))[0]
+        out = eng.generate(prompt, max_new_tokens=8)
+        np.testing.assert_array_equal(ref, np.array(out))
+    finally:
+        eng.stop()
+
+
+def test_engine_dead_step_thread_fails_fast(tiny):
+    """If the step thread dies, waiting consumers get a RuntimeError and
+    later submits are rejected — never a silent forever-hang (regression:
+    a non-vmappable op in a model's decode step used to leave generate()
+    blocked on an empty queue)."""
+    import pytest
+
+    params, config = tiny
+    eng = DecodeEngine(params, config, max_slots=1, max_len=32)
+
+    def boom():
+        raise RuntimeError("boom")
+
+    eng._loop_inner = boom
+    req = EngineRequest(np.array([1, 2, 3], np.int32), max_new_tokens=4)
+    eng.submit(req)  # queued before the thread starts (and dies)
+    eng.start()
+    with pytest.raises(RuntimeError, match="step thread died"):
+        list(req.tokens())
+    eng._thread.join(timeout=10)
+    assert isinstance(eng.fatal_error, RuntimeError)
+    with pytest.raises(RuntimeError, match="step thread died"):
+        eng.submit(EngineRequest(np.array([1], np.int32)))
