@@ -228,6 +228,37 @@ def whisper_generate(
     return np.stack(out, 1) if out else np.zeros((B, 0), np.int32)
 
 
+@partial(jax.jit, static_argnames=("cfg", "prompt_len", "max_new_tokens"))
+def whisper_generate_compiled(
+    params, cfg: WhisperConfig, mel, prompt_ids, prompt_len: int,
+    max_new_tokens: int = 64,
+):
+    """Whole greedy transcription as ONE XLA program: encode + a
+    `lax.fori_loop` of decode steps (zero per-token dispatch — the serving
+    and benchmarking path; `whisper_generate` above is the streaming/early-
+    EOS host loop). → (B, max_new_tokens) ids, matches whisper_generate
+    without EOS early-exit."""
+    enc = whisper_encode(params, cfg, jnp.asarray(mel))
+    B = prompt_ids.shape[0]
+    P = prompt_len
+    L = min(P + max_new_tokens, cfg.max_target_positions)
+    buf = jnp.zeros((B, L), jnp.int32)
+    buf = jax.lax.dynamic_update_slice(
+        buf, jnp.asarray(prompt_ids, jnp.int32), (0, 0)
+    )
+
+    def body(pos, buf):
+        logits = whisper_decode_logits(params, cfg, buf, enc)
+        prev = jnp.take_along_axis(
+            logits, (pos - 1)[None, None, None].repeat(B, 0), axis=1
+        )[:, 0]
+        nxt = jnp.argmax(prev, -1).astype(jnp.int32)
+        return jax.lax.dynamic_update_slice(buf, nxt[:, None], (0, pos))
+
+    buf = jax.lax.fori_loop(jnp.int32(P), jnp.int32(L), body, buf)
+    return jax.lax.dynamic_slice(buf, (0, P), (B, L - P))
+
+
 # ------------------------------- init / convert -------------------------------
 
 

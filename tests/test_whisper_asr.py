@@ -123,3 +123,31 @@ def test_asr_plugin_end_to_end():
     assert isinstance(long_text, str)
     # each chunk contributes: the joined text repeats the single-window text
     assert long_text.count(text.strip()) >= 2 if text.strip() else True
+
+
+def test_whisper_generate_compiled_matches_host_loop():
+    """The one-program fori_loop transcription equals the host greedy loop
+    (no-EOS) — the zero-dispatch serving/benchmark path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from intel_extension_for_transformers_tpu.models.whisper import (
+        WhisperConfig,
+        whisper_generate,
+        whisper_generate_compiled,
+        whisper_init_params,
+    )
+
+    cfg = WhisperConfig.test()
+    params = whisper_init_params(jax.random.PRNGKey(0), cfg)
+    mel = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (2, cfg.num_mel_bins, 100))
+    )
+    prompt = np.array([[1, 2], [3, 4]], np.int32)
+    ref = whisper_generate(params, cfg, mel, prompt, max_new_tokens=8)
+    got = whisper_generate_compiled(
+        params, cfg, jnp.asarray(mel), jnp.asarray(prompt), 2,
+        max_new_tokens=8,
+    )
+    np.testing.assert_array_equal(ref, np.asarray(got))
