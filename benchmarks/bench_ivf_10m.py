@@ -4,9 +4,10 @@ The scale point between the measured 300k (bench_ivf.py) and the 100M v5e-8
 target of BASELINE.json configs[3]: a 10M×768 index fits a single chip's
 HBM only through the residual codecs (int4 ≈ 0.3 GB/M padded, int8 ≈ 1 GB/M)
 — bf16 raw (15.4 GB) does not, which is itself the design argument for the
-codec menu. Host-side generation streams in 1M chunks (10M×768 f32 = 30 GB
-would also be fine in RAM but chunking keeps peak low and lets the oracle
-accumulate incrementally on device).
+codec menu. The corpus is generated ON the device in 1M chunks
+(`synthetic.clustered_embeddings_device`): host generation + the ~30 MB/s
+relay upload would cost hours for 30 GB; on-device it is seconds, and the
+exact-top-k oracle accumulates incrementally over the same chunks.
 
     python benchmarks/bench_ivf_10m.py --dtypes int4 int8 [--n 10000000]
 """
@@ -29,11 +30,15 @@ def main():
     p.add_argument("--n", type=int, default=10_000_000)
     p.add_argument("--dim", type=int, default=768)
     p.add_argument("--n-lists", type=int, default=4096)
-    p.add_argument("--nprobe", type=int, default=32)
+    p.add_argument("--nprobe", type=int, nargs="+", default=[32, 64, 128])
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--eval-queries", type=int, default=64)
     p.add_argument("--dtypes", nargs="+", default=["int4", "int8"])
+    p.add_argument("--cap-ratio", type=float, default=1.5,
+                   help="hard list cap as a multiple of the mean fill; "
+                   "int8 at 10M needs ~1.35 to fit the padded block table "
+                   "in 16 GB HBM next to a 3 GB generation chunk")
     p.add_argument("--single", action="store_true")
     args = p.parse_args()
 
@@ -46,8 +51,10 @@ def main():
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--single", "--dtypes", dt]
             for k in ("n", "dim", "n_lists", "nprobe", "batch", "iters",
-                      "eval_queries"):
-                cmd += [f"--{k.replace('_', '-')}", str(getattr(args, k))]
+                      "eval_queries", "cap_ratio"):
+                v = getattr(args, k)
+                vals = v if isinstance(v, list) else [v]
+                cmd += [f"--{k.replace('_', '-')}"] + [str(x) for x in vals]
             r = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=14400)
             sys.stderr.write(r.stderr[-3000:])
@@ -56,7 +63,8 @@ def main():
                 results[dt] = out["detail"][dt]
         best = results.get("int4") or next(iter(results.values()))
         print(json.dumps({
-            "metric": f"ivf10m_qps_n{args.n}_d{args.dim}_nprobe{args.nprobe}",
+            "metric": (f"ivf10m_qps_n{args.n}_d{args.dim}"
+                       f"_nprobe{args.nprobe[0]}"),
             "value": best["qps"],
             "unit": "qps",
             "detail": results,
@@ -77,32 +85,39 @@ def main():
         _ivf_search_coded,
     )
     from intel_extension_for_transformers_tpu.retrieval.synthetic import (
-        clustered_embeddings,
+        clustered_embeddings_device,
     )
 
     dt = args.dtypes[0]
     NQ = args.eval_queries
-    CHUNK = min(1_000_000, args.n)
+    # 500k chunks: generation transients (~3 copies of the chunk inside the
+    # jitted sampler) + the packed block table + one live chunk must all fit
+    # 16 GB HBM next to each other
+    CHUNK = min(500_000, args.n)
 
-    # queries + the training sample come from the same distribution/seed
-    first, queries = clustered_embeddings(
+    # corpus generated ON the device: 10M×768 f32 host generation costs
+    # ~5 min/M rows on this one-core host plus ~100 s/M rows through the
+    # ~30 MB/s TPU relay — the previous host-side version of this bench hit
+    # a 4 h timeout on exactly that. Queries + the training sample come
+    # from the same distribution/seed.
+    first, queries = clustered_embeddings_device(
         CHUNK, dim=args.dim, n_queries=max(NQ, args.batch),
         n_topics=256, seed=0,
     )
-    qd = jnp.asarray(queries[:NQ])
+    qd = queries[:NQ]
 
     # bounded-memory build: hard list cap at 1.5× the mean + the 4-way
     # spill cascade (retrieval/ivf.py _plan_insert_capped) — memory is
     # C·cap by construction, no growth re-layout can spike HBM; measured
     # drop rate ~1% on clustered data at this cap
-    cap = int(np.ceil(1.5 * args.n / args.n_lists))
+    cap = int(np.ceil(args.cap_ratio * args.n / args.n_lists))
     idx = IVFIndex(dim=args.dim, n_lists=args.n_lists, dtype=dt,
                    list_cap=cap, group_size=32, spill=True)
     t0 = time.time()
     train_n = min(200_000, len(first))
     idx.train(first[:train_n], iters=6,
               balance_ratio=1.3, balance_rounds=8)
-    print(f"[{dt}] trained; hard list cap {cap} "
+    print(f"[{dt}] trained in {time.time()-t0:.0f}s; hard list cap {cap} "
           f"(avg {args.n // args.n_lists})", file=sys.stderr, flush=True)
 
     # top-10 oracle accumulates per chunk on device: scores (NQ, chunk)
@@ -117,18 +132,19 @@ def main():
 
     added = 0
     rng_seed = 1
+    chunk = None
     while added < args.n:
         if added == 0:
-            chunk = first
+            chunk, first = first, None  # drop the extra 1.5 GB reference
         else:
-            chunk, _ = clustered_embeddings(
+            chunk = None  # free the previous chunk BEFORE generating
+            chunk, _ = clustered_embeddings_device(
                 min(CHUNK, args.n - added), dim=args.dim, n_queries=1,
                 n_topics=256, seed=rng_seed,
             )
             rng_seed += 1
         chunk = chunk[: args.n - added]
-        cd = jnp.asarray(chunk)
-        sc, ii = chunk_topk(qd, cd)
+        sc, ii = chunk_topk(qd, chunk)
         sc, ii = np.asarray(sc), np.asarray(ii).astype(np.int64) + added
         merged_s = np.concatenate([best_s, sc], axis=1)
         merged_i = np.concatenate([best_i, ii], axis=1)
@@ -143,55 +159,68 @@ def main():
               file=sys.stderr, flush=True)
     build_s = time.time() - t0
 
-    # recall in small query batches (the bounded gather is (B, nprobe·L, D))
-    hits = 0
-    for j in range(0, NQ, args.batch):
-        _, ids = idx.search(qd[j:j + args.batch], k=10, nprobe=args.nprobe)
-        ids = np.asarray(ids)
-        for r, row in enumerate(ids):
-            hits += len(set(row.tolist()) & set(best_i[j + r].tolist()))
-    rec = hits / (NQ * 10)
+    # one build, a QPS/recall point per nprobe (the interesting curve at a
+    # fixed memory budget). Recall in small query batches — the bounded
+    # gather is (B, nprobe·L, D).
+    q = queries[: args.batch]
+    points = {}
+    for nprobe in args.nprobe:
+        hits = 0
+        for j in range(0, NQ, args.batch):
+            _, ids = idx.search(qd[j:j + args.batch], k=10, nprobe=nprobe)
+            ids = np.asarray(ids)
+            for r, row in enumerate(ids):
+                hits += len(set(row.tolist()) & set(best_i[j + r].tolist()))
+        rec = hits / (NQ * 10)
 
-    # fused-loop QPS (arguments, not closure constants — relay 413 rule)
-    q = jnp.asarray(queries[: args.batch])
-    kwargs = dict(
-        k=10, nprobe=args.nprobe, list_cap=idx._list_cap,
-        # same decode-temp bound the IVFIndex.search path applies — the
-        # direct _ivf_search_coded call here previously OOM'd 16 GB HBM
-        # at batch 8 (10.05 GB of gather+decode temps)
-        query_chunk=_auto_query_chunk(
-            args.batch, args.nprobe, idx._list_cap, args.dim
-        ),
-    )
+        # fused-loop QPS (arguments, not closure constants — relay 413 rule)
+        kwargs = dict(
+            k=10, nprobe=nprobe, list_cap=idx._list_cap,
+            # same decode-temp bound the IVFIndex.search path applies — the
+            # direct _ivf_search_coded call here previously OOM'd 16 GB HBM
+            # at batch 8 (10.05 GB of gather+decode temps)
+            query_chunk=_auto_query_chunk(
+                args.batch, nprobe, idx._list_cap, args.dim
+            ),
+        )
 
-    @jax.jit
-    def loop(qq, cent, storage, scales, row_ids):
-        def body(i, acc):
-            qi = qq + 0 * i.astype(qq.dtype)
-            _, ii = _ivf_search_coded(
-                qi, cent, storage, scales, row_ids,
-                group_size=idx.group_size, bits=idx._bits, **kwargs,
-            )
-            return acc + ii[0, 0]
+        @jax.jit
+        def loop(qq, cent, storage, scales, row_ids):
+            def body(i, acc):
+                qi = qq + 0 * i.astype(qq.dtype)
+                _, ii = _ivf_search_coded(
+                    qi, cent, storage, scales, row_ids,
+                    group_size=idx.group_size, bits=idx._bits, **kwargs,
+                )
+                return acc + ii[0, 0]
 
-        return jax.lax.fori_loop(0, args.iters, body, jnp.int32(0))
+            return jax.lax.fori_loop(0, args.iters, body, jnp.int32(0))
 
-    operands = (q, idx.centroids, idx._storage, idx._scales, idx._row_ids)
-    int(loop(*operands))
-    t0 = time.perf_counter()
-    int(loop(*operands))
-    dt_s = time.perf_counter() - t0
-    qps = args.batch * args.iters / dt_s
+        operands = (q, idx.centroids, idx._storage, idx._scales,
+                    idx._row_ids)
+        int(loop(*operands))
+        t0 = time.perf_counter()
+        int(loop(*operands))
+        dt_s = time.perf_counter() - t0
+        points[f"nprobe{nprobe}"] = {
+            "qps": round(args.batch * args.iters / dt_s, 1),
+            "recall@10": round(float(rec), 4),
+        }
+        print(f"[{dt}] nprobe {nprobe}: {points[f'nprobe{nprobe}']}",
+              file=sys.stderr, flush=True)
+
+    top = points[f"nprobe{args.nprobe[0]}"]
     detail = {dt: {
-        "qps": round(qps, 1), "recall@10": round(float(rec), 4),
+        **top,
         "memory_gb": round(idx.memory_bytes() / 1e9, 2),
         "build_s": round(build_s, 1),
         "list_cap": idx._list_cap,
         "dropped": idx.dropped,
+        "points": points,
     }}
     print(f"[{dt}] {detail[dt]}", file=sys.stderr, flush=True)
     print(json.dumps({
-        "metric": f"ivf10m_qps_n{args.n}_d{args.dim}_nprobe{args.nprobe}",
+        "metric": f"ivf10m_qps_n{args.n}_d{args.dim}_nprobe{args.nprobe[0]}",
         "value": detail[dt]["qps"],
         "unit": "qps",
         "detail": detail,

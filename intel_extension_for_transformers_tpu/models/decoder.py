@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from intel_extension_for_transformers_tpu.models.llama import (
     KVCache,
+    _cache_write,
     init_kv_cache,
 )
 from intel_extension_for_transformers_tpu.ops.layers import (
@@ -322,10 +323,8 @@ def _decoder_layer(layer, x, config: DecoderConfig, positions, mask, bias4,
                  k[..., rd:]], axis=-1)
 
     if cache_k is not None:
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k.astype(cache_k.dtype), (0, start, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v.astype(cache_v.dtype), (0, start, 0, 0))
+        cache_k = _cache_write(cache_k, k, start)
+        cache_v = _cache_write(cache_v, v, start)
         k_all, v_all = cache_k.astype(x.dtype), cache_v.astype(x.dtype)
     else:
         k_all, v_all = k, v
@@ -376,8 +375,10 @@ def decoder_apply(
         x = _norm(x, params["embed_norm"], config)
 
     start = cache.length if cache is not None else jnp.int32(0)
-    positions = start + jnp.arange(T)[None, :]
-    positions = jnp.broadcast_to(positions, (B, T))
+    if jnp.ndim(start):  # (B,) per-row fill lengths (pooled serving engine)
+        positions = start[:, None] + jnp.arange(T)[None, :]
+    else:
+        positions = jnp.broadcast_to(start + jnp.arange(T)[None, :], (B, T))
 
     if config.pos_embedding == "learned":
         # OPT checkpoints store positions shifted by 2 (HF offset quirk)

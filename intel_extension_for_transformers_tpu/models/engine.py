@@ -5,13 +5,16 @@ The reference answers serving concurrency by adopting vLLM
 its engine, so it implements the core idea natively on the XLA execution
 model:
 
-- A fixed pool of B decode *slots* shares ONE jitted decode step — a
-  `vmap` over per-slot KV caches of the same per-family apply fn the rest of
-  the stack uses (`models/registry.get_apply_fn`), so every decoder family
-  (llama/mistral/qwen2/gptj/mpt/falcon/...) gets continuous batching for
-  free. Per-slot cache lengths (a mapped `KVCache.length`) give every slot
-  its own position stream — the static-shape analogue of vLLM's paged
-  attention bookkeeping.
+- A fixed pool of B decode *slots* shares ONE jitted decode step — a single
+  BATCHED forward (per-row cache fill lengths) of the same per-family apply
+  fn the rest of the stack uses (`models/registry.get_apply_fn`), so every
+  decoder family (llama/mistral/qwen2/gptj/mpt/falcon/...) gets continuous
+  batching for free. Per-slot cache lengths (`KVCache.length` as a (B,)
+  vector) give every slot its own position stream — the static-shape
+  analogue of vLLM's paged attention bookkeeping. Batched, NOT vmapped:
+  the weight matmuls see M=B, so quantized weights stream from HBM once per
+  step; vmapping the whole forward re-reads them once per slot (measured
+  87 ms vs ~13 ms/step, GPT-J INT4, B=8, one chip).
 - Requests JOIN via **chunked prefill**: the prompt is split into fixed-size
   chunks (one compiled (1, C) program regardless of prompt length) and ONE
   chunk runs per engine loop iteration, interleaved with pool decode steps —
@@ -38,6 +41,11 @@ model:
   the StreamingLLM "positions within the cache" treatment. Composes with
   int8 KV (dequant→rotate→requant at compaction) and with speculative
   decoding (the draft cache compacts with the same kept set).
+- **Fused decode horizon** (`decode_horizon=K`): K pool decode steps run as
+  ONE compiled program (lax.scan over the step body) and the host receives
+  K tokens per slot per dispatch — amortizing per-dispatch overhead (the
+  reason vLLM grew multi-step scheduling). Finished-mid-burst slots drop
+  their tail tokens, so per-request output is exactly the horizon=1 output.
 - Guided-choice decoding state lives ON DEVICE: per-slot token matrices +
   active/pos arrays; the allow mask is derived and advanced inside the
   jitted step — no per-token host→device (V,) uploads (round-2 weakness #7).
@@ -63,7 +71,10 @@ import jax.numpy as jnp
 logger = logging.getLogger(__name__)
 
 from intel_extension_for_transformers_tpu.models.registry import get_apply_fn
-from intel_extension_for_transformers_tpu.models.llama import init_kv_cache
+from intel_extension_for_transformers_tpu.models.llama import (
+    KVCache,
+    init_kv_cache,
+)
 from intel_extension_for_transformers_tpu.ops.layers import (
     rope_inv_freq,
     set_mass_tap,
@@ -182,34 +193,47 @@ def _guide_advance(g: GuideState, nxt: jax.Array, constrained: jax.Array):
 # ----------------------------- jitted steps -----------------------------
 
 
-@partial(jax.jit, static_argnames=("config", "with_mass"))
-def _engine_step(
+def _pool_flatten(cache: KVCache) -> KVCache:
+    """Engine slot-stacked cache (B, 1, S, ...) viewed as ONE batched cache
+    (B, S, ...) with per-row lengths — free reshapes, no data movement."""
+    sq = lambda lst: [x[:, 0] for x in lst] if lst is not None else None
+    return KVCache(k=sq(cache.k), v=sq(cache.v), length=cache.length,
+                   k_scale=sq(cache.k_scale), v_scale=sq(cache.v_scale))
+
+
+def _pool_stack(cache: KVCache) -> KVCache:
+    """Inverse of _pool_flatten: back to the engine's slot-stacked layout."""
+    ex = lambda lst: [x[:, None] for x in lst] if lst is not None else None
+    return KVCache(k=ex(cache.k), v=ex(cache.v), length=cache.length,
+                   k_scale=ex(cache.k_scale), v_scale=ex(cache.v_scale))
+
+
+def _step_body(
     params, config, cache, tokens, rng,
     temperature, top_k, top_p, do_sample, rep_penalty, seen, guide, accum,
     with_mass: bool = False,
 ):
-    """One decode step for all slots: vmapped apply + per-slot sampling.
+    """One decode step for all slots: ONE batched apply (per-row cache
+    lengths) + per-slot sampling. Batched — NOT vmapped per slot — so the
+    weight matmuls see M=B and the quantized weights stream from HBM once
+    per step; vmapping the whole forward re-reads them once per slot
+    (measured 87 ms vs ~13 ms for GPT-J INT4 at B=8 on one chip).
     with_mass additionally accumulates per-key attention mass (H2O)."""
     apply_fn = _eager(get_apply_fn(config))
+    flat = _pool_flatten(cache)
 
     if with_mass:
-        def one(cache_slot, tok):
-            set_mass_tap(tap := [])
-            try:
-                logits, new_cache = apply_fn(params, config, tok[None, None], cache_slot)
-            finally:
-                set_mass_tap(None)
-            mass = sum(m[0] for m in tap)  # Σ layers of (1, S) → (S,)
-            return logits[0, -1], new_cache, mass
-
-        logits, cache, mass = jax.vmap(one)(cache, tokens)  # mass (B, S)
+        set_mass_tap(tap := [])
+        try:
+            logits, flat = apply_fn(params, config, tokens[:, None], flat)
+        finally:
+            set_mass_tap(None)
+        mass = sum(m[:, 0] for m in tap)  # Σ layers of (B, 1, S) → (B, S)
         accum = accum + mass
     else:
-        def one(cache_slot, tok):
-            logits, new_cache = apply_fn(params, config, tok[None, None], cache_slot)
-            return logits[0, -1], new_cache
-
-        logits, cache = jax.vmap(one)(cache, tokens)  # (B, V)
+        logits, flat = apply_fn(params, config, tokens[:, None], flat)
+    logits = logits[:, -1]  # (B, V)
+    cache = _pool_stack(flat)
 
     allow, constrained = _guide_allow(guide, logits.shape[-1])
     rng, sub = jax.random.split(rng)
@@ -222,7 +246,49 @@ def _engine_step(
     return nxt, cache, rng, seen, guide, accum
 
 
-@partial(jax.jit, static_argnames=("config", "draft_config", "gamma", "with_mass"))
+# cache/tokens/rng/seen/guide/accum are donated: the engine loop re-assigns
+# every one of them from the step output, and without input-output aliasing
+# XLA materializes a fresh multi-GB KV cache copy inside every dispatch
+_engine_step = partial(
+    jax.jit, static_argnames=("config", "with_mass"),
+    donate_argnums=(2, 3, 4, 10, 11, 12),
+)(_step_body)
+
+
+@partial(jax.jit, static_argnames=("config", "horizon", "with_mass"),
+         donate_argnums=(2, 3, 4, 10, 11, 12))
+def _engine_step_multi(
+    params, config, cache, tokens, rng,
+    temperature, top_k, top_p, do_sample, rep_penalty, seen, guide, accum,
+    horizon: int, with_mass: bool = False,
+):
+    """`horizon` decode steps for the whole pool fused into ONE program
+    (a lax.scan over _step_body): the host sees `horizon` tokens per slot
+    per dispatch, amortizing the per-dispatch overhead (~30 ms through the
+    axon relay; still ~100s of µs of host loop on a directly-attached chip
+    — the same reason vLLM grew multi-step scheduling). EOS/guide
+    completion is resolved on the host AFTER the burst: a finished slot's
+    tail tokens are dropped and its cache rows are dead (the slot resets
+    at the next admission), so per-request output is step-for-step
+    identical to horizon=1. Returns (tokens (H, B), last tokens, ...)."""
+
+    def body(carry, _):
+        cache, tokens, rng, seen, guide, accum = carry
+        nxt, cache, rng, seen, guide, accum = _step_body(
+            params, config, cache, tokens, rng,
+            temperature, top_k, top_p, do_sample, rep_penalty, seen, guide,
+            accum, with_mass,
+        )
+        return (cache, nxt, rng, seen, guide, accum), nxt
+
+    (cache, tokens, rng, seen, guide, accum), toks = jax.lax.scan(
+        body, (cache, tokens, rng, seen, guide, accum), None, length=horizon
+    )
+    return toks, tokens, cache, rng, seen, guide, accum
+
+
+@partial(jax.jit, static_argnames=("config", "draft_config", "gamma", "with_mass"),
+         donate_argnums=(4, 5, 6, 7, 13, 14, 15))
 def _spec_engine_step(
     params, config, draft_params, draft_config, cache, draft_cache,
     tokens, rng,
@@ -254,42 +320,37 @@ def _spec_engine_step(
     # 1. draft: gamma+1 greedy steps — proposes d1..dgamma and PROCESSES
     # t0..dgamma so its cache stays one-feed-per-token aligned with the
     # target's accepted history (the last proposal is discarded)
+    dflat = _pool_flatten(draft_cache)
+
     def draft_one(carry, _):
         dcache, tok = carry
-
-        def one(cs, t):
-            logits, nc = draft_apply(draft_params, draft_config, t[None, None], cs)
-            return logits[0, -1], nc
-
-        logits, dcache = jax.vmap(one)(dcache, tok)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logits, dcache = draft_apply(draft_params, draft_config,
+                                     tok[:, None], dcache)
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
         return (dcache, nxt), nxt
 
-    (draft_cache, _), proposals = jax.lax.scan(
-        draft_one, (draft_cache, tokens), None, length=gamma + 1
+    (dflat, _), proposals = jax.lax.scan(
+        draft_one, (dflat, tokens), None, length=gamma + 1
     )
+    draft_cache = _pool_stack(dflat)
     drafts = proposals[:gamma].T  # (B, gamma) = d1..dgamma
 
     # 2. target verifies [t0, d1..dgamma] in one (gamma+1)-token forward
     seq = jnp.concatenate([tokens[:, None], drafts], axis=1)  # (B, gamma+1)
 
+    # batched (per-row lengths), not vmapped — weights stream once, M=B·(γ+1)
+    flat = _pool_flatten(cache)
     if with_mass:
-        def onev(cs, s):
-            set_mass_tap(tap := [])
-            try:
-                logits, nc = apply_fn(params, config, s[None], cs)
-            finally:
-                set_mass_tap(None)
-            mass_q = sum(tap)  # (gamma+1, S)
-            return logits[0].astype(jnp.float32), nc, mass_q
-
-        logits, cache, mass_q = jax.vmap(onev)(cache, seq)  # mass (B, g+1, S)
+        set_mass_tap(tap := [])
+        try:
+            logits, flat = apply_fn(params, config, seq, flat)
+        finally:
+            set_mass_tap(None)
+        mass_q = sum(tap)  # Σ layers of (B, gamma+1, S)
     else:
-        def onev(cs, s):
-            logits, nc = apply_fn(params, config, s[None], cs)
-            return logits[0].astype(jnp.float32), nc
-
-        logits, cache = jax.vmap(onev)(cache, seq)  # (B, gamma+1, V)
+        logits, flat = apply_fn(params, config, seq, flat)
+    cache = _pool_stack(flat)
+    logits = logits.astype(jnp.float32)  # (B, gamma+1, V)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # g0..ggamma
 
     # n = longest accepted prefix (d_{i+1} == g_i); sampling/penalty → n=0
@@ -333,7 +394,8 @@ def _spec_engine_step(
 
 
 @partial(jax.jit, static_argnames=("state", "config", "draft_config", "gamma",
-                                   "with_mass"))
+                                   "with_mass"),
+         donate_argnums=(4, 5, 6, 8, 14, 15, 16))
 def _pp_spec_engine_step(
     state, config, draft_params, draft_config, cache, draft_cache,
     tokens, active, rng,
@@ -353,21 +415,19 @@ def _pp_spec_engine_step(
     draft_apply = _eager(get_apply_fn(draft_config))
     B = tokens.shape[0]
 
+    dflat = _pool_flatten(draft_cache)
+
     def draft_one(carry, _):
         dcache, tok = carry
-
-        def one(cs, t):
-            logits, nc = draft_apply(draft_params, draft_config,
-                                     t[None, None], cs)
-            return logits[0, -1], nc
-
-        logits, dcache = jax.vmap(one)(dcache, tok)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logits, dcache = draft_apply(draft_params, draft_config,
+                                     tok[:, None], dcache)
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
         return (dcache, nxt), nxt
 
-    (draft_cache, _), proposals = jax.lax.scan(
-        draft_one, (draft_cache, tokens), None, length=gamma + 1
+    (dflat, _), proposals = jax.lax.scan(
+        draft_one, (dflat, tokens), None, length=gamma + 1
     )
+    draft_cache = _pool_stack(dflat)
     drafts = proposals[:gamma].T  # (B, gamma)
 
     seq = jnp.concatenate([tokens[:, None], drafts], axis=1)  # (B, g+1)
@@ -427,8 +487,7 @@ def _pp_spec_engine_step(
             accum)
 
 
-@partial(jax.jit, static_argnames=("state", "config", "with_mass"))
-def _pp_engine_step(
+def _pp_step_body(
     state, config, cache, tokens, active, rng,
     temperature, top_k, top_p, do_sample, rep_penalty, seen, guide, accum,
     with_mass: bool = False,
@@ -459,6 +518,37 @@ def _pp_engine_step(
     guide = _guide_advance(guide, nxt, constrained)
     seen = seen | jax.nn.one_hot(nxt, seen.shape[-1], dtype=jnp.bool_)
     return nxt, cache, rng, seen, guide, accum
+
+
+_pp_engine_step = partial(
+    jax.jit, static_argnames=("state", "config", "with_mass"),
+    donate_argnums=(2, 3, 5, 11, 12, 13),
+)(_pp_step_body)
+
+
+@partial(jax.jit, static_argnames=("state", "config", "horizon", "with_mass"),
+         donate_argnums=(2, 3, 5, 11, 12, 13))
+def _pp_engine_step_multi(
+    state, config, cache, tokens, active, rng,
+    temperature, top_k, top_p, do_sample, rep_penalty, seen, guide, accum,
+    horizon: int, with_mass: bool = False,
+):
+    """`horizon` pipelined decode steps fused into ONE program (see
+    _engine_step_multi — same contract, pp×tp layout)."""
+
+    def body(carry, _):
+        cache, tokens, rng, seen, guide, accum = carry
+        nxt, cache, rng, seen, guide, accum = _pp_step_body(
+            state, config, cache, tokens, active, rng,
+            temperature, top_k, top_p, do_sample, rep_penalty, seen, guide,
+            accum, with_mass,
+        )
+        return (cache, nxt, rng, seen, guide, accum), nxt
+
+    (cache, tokens, rng, seen, guide, accum), toks = jax.lax.scan(
+        body, (cache, tokens, rng, seen, guide, accum), None, length=horizon
+    )
+    return toks, tokens, cache, rng, seen, guide, accum
 
 
 @jax.jit
@@ -497,7 +587,7 @@ def _prefill_chunk(params, config, cache, ids, n_valid, seen, mass=None,
             logits, cache = apply_fn(params, config, ids, cache)
         finally:
             set_mass_tap(None)
-        mass_q = sum(tap)  # (C, S) per-query key mass
+        mass_q = sum(m[0] for m in tap)  # Σ layers of (1, C, S) → (C, S)
         qvalid = (jnp.arange(C) < n_valid)[:, None]
         mass = mass + jnp.sum(jnp.where(qvalid, mass_q, 0.0), axis=0)
     else:
@@ -610,7 +700,7 @@ def _compact_cache_slot(cache, slot, keep_idx, rope_spec):
         n: (list(getattr(cache, n)) if getattr(cache, n) is not None else None)
         for n in ("k", "v", "k_scale", "v_scale")
     }
-    # engine cache leaves carry the vmapped per-slot batch dim:
+    # engine cache leaves carry the slot-stacked layout:
     # k/v (slots, 1, S, Hkv, D), scales (slots, 1, S, Hkv)
     for li in range(len(cache.k)):
         kk = jnp.take(cache.k[li][slot, 0], keep_idx, axis=0)  # (K, Hkv, D)
@@ -737,6 +827,7 @@ class DecodeEngine:
         kv_recent: Optional[int] = None,
         kv_heavy: Optional[int] = None,
         pp_state=None,  # parallel.pp_serve.PPServeState → pp×tp serving
+        decode_horizon: int = 1,  # fused decode steps per dispatch (≥1)
     ):
         self.params = params
         self.config = config
@@ -754,6 +845,12 @@ class DecodeEngine:
         self.gamma = int(num_speculative_tokens)
         if (draft_params is None) != (draft_config is None):
             raise ValueError("draft_params and draft_config go together")
+        # speculative steps already emit up to gamma+1 tokens per dispatch —
+        # the horizon applies to the plain and pp paths only
+        self.decode_horizon = (
+            1 if draft_config is not None
+            else max(1, min(int(decode_horizon), max_len))
+        )
         V = config.vocab_size
 
         self.kv_dtype = kv_dtype
@@ -763,7 +860,9 @@ class DecodeEngine:
         self.kv_sink = int(kv_sink)
         self.kv_recent = int(kv_recent) if kv_recent is not None else max_len // 2
         self.kv_heavy = int(kv_heavy) if kv_heavy is not None else max_len // 4
-        step_w = self.gamma + 1 if draft_config is not None else 1
+        step_w = (
+            self.gamma + 1 if draft_config is not None else self.decode_horizon
+        )
         if kv_policy is not None:
             keep = self.kv_recent + (
                 self.kv_sink if kv_policy == "sink" else self.kv_heavy
@@ -818,6 +917,11 @@ class DecodeEngine:
         self._topp = np.ones((max_slots,), np.float32)
         self._dos = np.zeros((max_slots,), bool)
         self._rep = np.ones((max_slots,), np.float32)
+        # device-resident copies, re-uploaded only when a slot (re)joins:
+        # 5 small per-dispatch uploads cost ~75 ms through the TPU relay
+        self._knobs_dev: Optional[tuple] = None
+        self._active_key: Optional[tuple] = None
+        self._active_dev = None
 
         self._slots: list[Optional[EngineRequest]] = [None] * max_slots
         self._emitted = np.zeros((max_slots,), np.int64)
@@ -889,6 +993,7 @@ class DecodeEngine:
             "total_tokens": self._total_tokens,
             "completed_requests": self._total_requests,
             "speculative": self._draft_cache is not None,
+            "decode_horizon": self.decode_horizon,
             "kv_dtype": str(self.kv_dtype),
             "kv_policy": self.kv_policy or "none",
             "kv_compactions": self._compactions,
@@ -1024,6 +1129,7 @@ class DecodeEngine:
         self._topp[slot] = req.top_p
         self._dos[slot] = req.do_sample
         self._rep[slot] = req.repetition_penalty
+        self._knobs_dev = None  # re-upload on next decode dispatch
         cfg_arrays = (
             jnp.float32(req.temperature),
             jnp.int32(req.top_k),
@@ -1164,7 +1270,10 @@ class DecodeEngine:
     # --------------------------- KV eviction ---------------------------
 
     def _step_width(self) -> int:
-        return (self.gamma + 1) if self._draft_cache is not None else 1
+        """Max cache positions one dispatch can consume per slot."""
+        if self._draft_cache is not None:
+            return self.gamma + 1
+        return self.decode_horizon
 
     def _keep_indices(self, old_len: int, accum_row=None) -> np.ndarray:
         """Policy-selected kept rows (ascending) for a cache of old_len."""
@@ -1232,6 +1341,45 @@ class DecodeEngine:
             self._compactions += 1
 
     # ------------------------------ internals ------------------------------
+
+    def _device_knobs(self) -> tuple:
+        """Per-slot sampling knobs as device arrays, re-uploaded only when a
+        slot (re)joins — five small per-dispatch uploads cost ~75 ms through
+        the TPU relay (round-3 serving probe), ~0 amortized this way."""
+        if self._knobs_dev is None:
+            self._knobs_dev = (
+                jnp.asarray(self._temp),
+                jnp.asarray(self._topk),
+                jnp.asarray(self._topp),
+                jnp.asarray(self._dos),
+                jnp.asarray(self._rep),
+            )
+        return self._knobs_dev
+
+    def _device_active(self, active: list):
+        """The pp paths' active-slot mask, uploaded only when it changes."""
+        key = tuple(active)
+        if key != self._active_key:
+            self._active_key = key
+            self._active_dev = jnp.asarray(np.array(active, np.bool_))
+        return self._active_dev
+
+    def _emit_burst(self, active: list, toks: np.ndarray) -> None:
+        """Emit a (H, B) burst of decoded tokens in step order. A slot that
+        finishes mid-burst (EOS / max_new_tokens / guide completion) has its
+        tail tokens dropped — its cache rows past the end are dead and the
+        slot resets at the next admission — so per-request output is
+        identical to horizon=1."""
+        H = toks.shape[0]
+        for slot in range(self.max_slots):
+            if active[slot]:
+                self._host_len[slot] += H
+        for h in range(H):
+            for slot in range(self.max_slots):
+                if active[slot] and self._slots[slot] is not None:
+                    t = int(toks[h, slot])
+                    self._emit(slot, t)
+                    self._advance_guide_mirror(slot, t)
 
     def _emit(self, slot: int, token: int) -> None:
         req = self._slots[slot]
@@ -1329,13 +1477,9 @@ class DecodeEngine:
                     self.draft_params, self.draft_config,
                     self._cache, self._draft_cache,
                     self._tokens,
-                    jnp.asarray(np.array(active, bool)),
+                    self._device_active(active),
                     self._rng,
-                    jnp.asarray(self._temp),
-                    jnp.asarray(self._topk),
-                    jnp.asarray(self._topp),
-                    jnp.asarray(self._dos),
-                    jnp.asarray(self._rep),
+                    *self._device_knobs(),
                     self._seen,
                     self._guide,
                     self._accum,
@@ -1361,11 +1505,7 @@ class DecodeEngine:
                     self.draft_params, self.draft_config,
                     self._cache, self._draft_cache,
                     self._tokens, self._rng,
-                    jnp.asarray(self._temp),
-                    jnp.asarray(self._topk),
-                    jnp.asarray(self._topp),
-                    jnp.asarray(self._dos),
-                    jnp.asarray(self._rep),
+                    *self._device_knobs(),
                     self._seen,
                     self._guide,
                     self._accum,
@@ -1384,60 +1524,59 @@ class DecodeEngine:
                         self._emit(slot, t)
                         self._advance_guide_mirror(slot, t)
             elif self.pp_state is not None:
-                (self._tokens, self._cache, self._rng, self._seen,
-                 self._guide, self._accum) = _pp_engine_step(
-                    self.pp_state,
-                    self.config,
-                    self._cache,
-                    self._tokens,
-                    jnp.asarray(np.array(active, bool)),
-                    self._rng,
-                    jnp.asarray(self._temp),
-                    jnp.asarray(self._topk),
-                    jnp.asarray(self._topp),
-                    jnp.asarray(self._dos),
-                    jnp.asarray(self._rep),
-                    self._seen,
-                    self._guide,
-                    self._accum,
-                    self._with_mass,
-                )
+                H = self.decode_horizon
+                knobs = self._device_knobs()
+                if H > 1:
+                    (toks_h, self._tokens, self._cache, self._rng,
+                     self._seen, self._guide, self._accum) = (
+                        _pp_engine_step_multi(
+                            self.pp_state, self.config, self._cache,
+                            self._tokens,
+                            self._device_active(active),
+                            self._rng, *knobs,
+                            self._seen, self._guide, self._accum,
+                            H, self._with_mass,
+                        )
+                    )
+                    toks = np.asarray(toks_h)  # (H, B)
+                else:
+                    (self._tokens, self._cache, self._rng, self._seen,
+                     self._guide, self._accum) = _pp_engine_step(
+                        self.pp_state, self.config, self._cache,
+                        self._tokens,
+                        self._device_active(active),
+                        self._rng, *knobs,
+                        self._seen, self._guide, self._accum,
+                        self._with_mass,
+                    )
+                    toks = np.asarray(self._tokens)[None]  # (1, B)
                 self._steps += 1
-                toks = np.asarray(self._tokens)
-                for slot in range(self.max_slots):
-                    if active[slot]:
-                        self._host_len[slot] += 1
-                    if self._slots[slot] is not None:
-                        t = int(toks[slot])
-                        self._emit(slot, t)
-                        self._advance_guide_mirror(slot, t)
+                self._emit_burst(active, toks)
             else:
-                (self._tokens, self._cache, self._rng, self._seen,
-                 self._guide, self._accum) = _engine_step(
-                    self.params,
-                    self.config,
-                    self._cache,
-                    self._tokens,
-                    self._rng,
-                    jnp.asarray(self._temp),
-                    jnp.asarray(self._topk),
-                    jnp.asarray(self._topp),
-                    jnp.asarray(self._dos),
-                    jnp.asarray(self._rep),
-                    self._seen,
-                    self._guide,
-                    self._accum,
-                    self._with_mass,
-                )
+                H = self.decode_horizon
+                knobs = self._device_knobs()
+                if H > 1:
+                    (toks_h, self._tokens, self._cache, self._rng,
+                     self._seen, self._guide, self._accum) = (
+                        _engine_step_multi(
+                            self.params, self.config, self._cache,
+                            self._tokens, self._rng, *knobs,
+                            self._seen, self._guide, self._accum,
+                            H, self._with_mass,
+                        )
+                    )
+                    toks = np.asarray(toks_h)  # (H, B)
+                else:
+                    (self._tokens, self._cache, self._rng, self._seen,
+                     self._guide, self._accum) = _engine_step(
+                        self.params, self.config, self._cache,
+                        self._tokens, self._rng, *knobs,
+                        self._seen, self._guide, self._accum,
+                        self._with_mass,
+                    )
+                    toks = np.asarray(self._tokens)[None]  # (1, B)
                 self._steps += 1
-                toks = np.asarray(self._tokens)
-                for slot in range(self.max_slots):
-                    if active[slot]:
-                        self._host_len[slot] += 1
-                    if self._slots[slot] is not None:
-                        t = int(toks[slot])
-                        self._emit(slot, t)
-                        self._advance_guide_mirror(slot, t)
+                self._emit_burst(active, toks)
 
     # ----------------------------- conveniences -----------------------------
 

@@ -320,6 +320,23 @@ def _kv_quantize(t: jax.Array):
     return jnp.clip(q, -127, 127).astype(jnp.int8), sc
 
 
+def _cache_write(buf, new, start):
+    """Write `new` (B, T, ...) into `buf` (B, S, ...) at rows
+    [start, start+T). Scalar `start`: one dynamic_update_slice (prefill /
+    batched generate — every row at the same offset). Vector `start` (B,):
+    per-row offsets — the pooled serving engine decodes a slot pool with
+    heterogeneous fill lengths in ONE batched step, so the weight matmuls
+    see M=B and the int4 weights stream from HBM once per step instead of
+    once per slot (vmapping the whole forward re-reads them B times)."""
+    new = new.astype(buf.dtype)
+    if jnp.ndim(start) == 0:
+        idx = (jnp.int32(0), start) + (jnp.int32(0),) * (buf.ndim - 2)
+        return jax.lax.dynamic_update_slice(buf, new, idx)
+    B, T = new.shape[:2]
+    rows = start[:, None] + jnp.arange(T)[None, :]  # (B, T)
+    return buf.at[jnp.arange(B)[:, None], rows].set(new)
+
+
 def _decoder_layer(layer, x, config: LlamaConfig, cos, sin, mask, cache_k,
                    cache_v, start, use_flash: bool = False, ring=None,
                    cache_ks=None, cache_vs=None):
@@ -341,20 +358,16 @@ def _decoder_layer(layer, x, config: LlamaConfig, cos, sin, mask, cache_k,
         # int8 KV: quantize the new rows ONCE at write; dequant on attend
         k8, ksc = _kv_quantize(k)
         v8, vsc = _kv_quantize(v)
-        cache_k = jax.lax.dynamic_update_slice(cache_k, k8, (0, start, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(cache_v, v8, (0, start, 0, 0))
-        cache_ks = jax.lax.dynamic_update_slice(cache_ks, ksc, (0, start, 0))
-        cache_vs = jax.lax.dynamic_update_slice(cache_vs, vsc, (0, start, 0))
+        cache_k = _cache_write(cache_k, k8, start)
+        cache_v = _cache_write(cache_v, v8, start)
+        cache_ks = _cache_write(cache_ks, ksc, start)
+        cache_vs = _cache_write(cache_vs, vsc, start)
         k_all = (cache_k.astype(jnp.float32) * cache_ks[..., None]).astype(x.dtype)
         v_all = (cache_v.astype(jnp.float32) * cache_vs[..., None]).astype(x.dtype)
     elif cache_k is not None:
         # write new K/V at [start, start+T); attend over the whole buffer
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k.astype(cache_k.dtype), (0, start, 0, 0)
-        )
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v.astype(cache_v.dtype), (0, start, 0, 0)
-        )
+        cache_k = _cache_write(cache_k, k, start)
+        cache_v = _cache_write(cache_v, v, start)
         k_all, v_all = cache_k.astype(x.dtype), cache_v.astype(x.dtype)
     else:
         k_all, v_all = k, v
@@ -429,10 +442,9 @@ def _moe_mlp(mlp, x, config: LlamaConfig):
     if M <= 8:
         # decode-size dense path: run ALL experts on the few tokens and
         # weight by the (renormalized) top-k routing probs. At M this small
-        # the E tiny matmuls cost less than ragged_dot's sort machinery —
-        # and `lax.ragged_dot` cannot be vmapped over a slot pool (NYI in
-        # jax), which is exactly how the serving engine steps MoE slots
-        # (models/engine.py:_engine_step vmap over per-slot caches)
+        # the E tiny matmuls cost less than ragged_dot's sort machinery
+        # (the serving engine's pooled decode step lands here with M = pool
+        # slots; larger pools take the ragged_dot path below)
         w_full = jnp.zeros((M, E), jnp.float32).at[
             jnp.arange(M)[:, None], experts
         ].set(weights)  # (M, E) — zero for unselected experts
@@ -499,8 +511,10 @@ def llama_apply(
     x = jnp.take(params["embed_tokens"], input_ids, axis=0)
 
     start = cache.length if cache is not None else jnp.int32(0)
-    positions = start + jnp.arange(T)[None, :]  # (1, T)
-    positions = jnp.broadcast_to(positions, (B, T))
+    if jnp.ndim(start):  # (B,) per-row fill lengths (pooled serving engine)
+        positions = start[:, None] + jnp.arange(T)[None, :]  # (B, T)
+    else:
+        positions = jnp.broadcast_to(start + jnp.arange(T)[None, :], (B, T))
     cos, sin = rotary_embedding(
         positions, config.head_dim, config.rope_theta, config.rope_scaling
     )

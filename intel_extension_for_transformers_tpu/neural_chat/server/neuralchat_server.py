@@ -971,6 +971,7 @@ class NeuralChatServerExecutor:
             max_slots=int(serving.get("max_slots", 8)),
             max_len=int(serving.get("max_len", 1024)),
             prefill_chunk=int(serving.get("prefill_chunk", 128)),
+            decode_horizon=int(serving.get("decode_horizon", 1)),
             draft_params=d_params,
             draft_config=d_config,
             num_speculative_tokens=int(serving.get("num_speculative_tokens", 4)),

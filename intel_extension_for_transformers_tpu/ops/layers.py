@@ -160,7 +160,7 @@ def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 # Trace-time tap for H2O attention-mass statistics: when a jitted caller
 # (models/engine.py h2o policy) sets `mass_tap` to a list before tracing a
 # model apply, every attention() call appends its per-key attention mass
-# (Tq, Tk) f32 summed over batch+heads — the reference's heavy-hitter
+# (B, Tq, Tk) f32 summed over heads — the reference's heavy-hitter
 # statistic (kv_cache_compression/prune/h2o.py:23 local_heavy_hitter_mask)
 # collected without changing any model family's apply signature. Thread-local
 # so concurrent traces in a threaded server never cross-pollinate.
@@ -208,7 +208,9 @@ def attention(
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     tap = get_mass_tap()
     if tap is not None:
-        tap.append(jnp.sum(probs, axis=(0, 1)))  # (Tq, Tk)
+        # per-batch-row key mass: the pooled serving engine decodes all
+        # slots in one batched step, so H2O accumulation must stay per slot
+        tap.append(jnp.sum(probs, axis=1))  # (B, Tq, Tk)
     probs = probs.astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=q.dtype)
 

@@ -61,6 +61,58 @@ def clustered_embeddings(
     return sample(n), sample(n_queries)
 
 
+def clustered_embeddings_device(
+    n: int,
+    dim: int = 768,
+    n_queries: int = 256,
+    *,
+    n_topics: int = 64,
+    n_subtopics: int = 16,
+    subtopic_scale: float = 0.5,
+    noise_scale: float = 0.35,
+    anisotropy: float = 0.7,
+    seed: int = 0,
+):
+    """`clustered_embeddings` computed ON the accelerator (jax.random).
+
+    Same hierarchical-mixture distribution (not bit-identical draws — a
+    different RNG), returned as device arrays. Exists for the 10M+ scale
+    benches: generating 10M×768 f32 on this one-core host costs ~5 min/M
+    rows and shipping it through the TPU relay another ~100 s/M rows at the
+    measured ~30 MB/s — the device generates the same corpus in seconds and
+    nothing crosses the wire (benchmarks/bench_ivf_10m.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    kt, ks, ka, kd, kq = jax.random.split(jax.random.PRNGKey(seed), 5)
+    tops = jax.random.normal(kt, (n_topics, dim), jnp.float32)
+    tops /= jnp.linalg.norm(tops, axis=1, keepdims=True)
+    subs = jax.random.normal(ks, (n_topics, n_subtopics, dim), jnp.float32)
+    subs /= jnp.linalg.norm(subs, axis=2, keepdims=True)
+    aniso = jnp.exp(anisotropy * jax.random.normal(ka, (dim,), jnp.float32))
+    aniso /= jnp.sqrt(jnp.mean(aniso**2))
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def sample(key, m):
+        k1, k2, k3 = jax.random.split(key, 3)
+        t = jax.random.randint(k1, (m,), 0, n_topics)
+        s = jax.random.randint(k2, (m,), 0, n_subtopics)
+        x = (
+            tops[t]
+            + subtopic_scale * subs[t, s]
+            + noise_scale
+            * jax.random.normal(k3, (m, dim), jnp.float32)
+            * aniso
+            / jnp.sqrt(dim)
+        )
+        return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+    return sample(kd, n), sample(kq, n_queries)
+
+
 def gaussian_embeddings(
     n: int, dim: int = 768, n_queries: int = 256, *, seed: int = 0
 ) -> tuple[np.ndarray, np.ndarray]:
