@@ -40,6 +40,10 @@ def main():
                    "int8 at 10M needs ~1.35 to fit the padded block table "
                    "in 16 GB HBM next to a 3 GB generation chunk")
     p.add_argument("--single", action="store_true")
+    p.add_argument("--state-dir", default=None,
+                   help="save the built index + oracle there (or load them "
+                   "if present) so a flaky search-phase compile does not "
+                   "force a rebuild")
     args = p.parse_args()
 
     if not args.single and len(args.dtypes) > 1:
@@ -51,8 +55,10 @@ def main():
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--single", "--dtypes", dt]
             for k in ("n", "dim", "n_lists", "nprobe", "batch", "iters",
-                      "eval_queries", "cap_ratio"):
+                      "eval_queries", "cap_ratio", "state_dir"):
                 v = getattr(args, k)
+                if v is None:
+                    continue
                 vals = v if isinstance(v, list) else [v]
                 cmd += [f"--{k.replace('_', '-')}"] + [str(x) for x in vals]
             r = subprocess.run(cmd, capture_output=True, text=True,
@@ -106,6 +112,18 @@ def main():
     )
     qd = queries[:NQ]
 
+    state = (os.path.join(args.state_dir, f"ivf10m_{dt}_{args.n}")
+             if args.state_dir else None)
+    if state and os.path.exists(state + ".oracle.npz"):
+        print(f"[{dt}] loading saved index from {state}", file=sys.stderr,
+              flush=True)
+        idx = IVFIndex.load(state)
+        saved = np.load(state + ".oracle.npz")
+        best_i, build_s = saved["best_i"], float(saved["build_s"])
+        idx.dropped = int(saved["dropped"])
+        run_search_phase(args, dt, idx, qd, queries, best_i, build_s)
+        return
+
     # bounded-memory build: hard list cap at 1.5× the mean + the 4-way
     # spill cascade (retrieval/ivf.py _plan_insert_capped) — memory is
     # C·cap by construction, no growth re-layout can spike HBM; measured
@@ -158,6 +176,27 @@ def main():
               f"(cap {idx._list_cap}, {time.time()-t0:.0f}s)",
               file=sys.stderr, flush=True)
     build_s = time.time() - t0
+
+    if state:
+        os.makedirs(args.state_dir, exist_ok=True)
+        idx.save(state)
+        np.savez(state + ".oracle.npz", best_i=best_i, build_s=build_s,
+                 dropped=idx.dropped)
+        print(f"[{dt}] saved index+oracle to {state}", file=sys.stderr,
+              flush=True)
+    run_search_phase(args, dt, idx, qd, queries, best_i, build_s)
+
+
+def run_search_phase(args, dt, idx, qd, queries, best_i, build_s):
+    import jax
+    import jax.numpy as jnp
+
+    from intel_extension_for_transformers_tpu.retrieval.ivf import (
+        _auto_query_chunk,
+        _ivf_search_coded,
+    )
+
+    NQ = args.eval_queries
 
     # one build, a QPS/recall point per nprobe (the interesting curve at a
     # fixed memory budget). Recall in small query batches — the bounded

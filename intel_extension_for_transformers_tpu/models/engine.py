@@ -59,6 +59,7 @@ from __future__ import annotations
 import logging
 import queue
 import threading
+from collections import OrderedDict
 from dataclasses import dataclass, field, replace
 from functools import partial
 from typing import Iterator, Optional
@@ -626,6 +627,12 @@ def _insert_slot(batch_cache, slot_cache, slot, seen_all, seen_row):
     return replace(batch_cache, length=length, **fields), seen_all
 
 
+def _with_length(cache, L: int):
+    """The stored cache at a (possibly shorter) restore length. Row data is
+    shared (immutable device arrays); only the scalar length changes."""
+    return replace(cache, length=jnp.full_like(cache.length, L))
+
+
 @jax.jit
 def _first_token(last_logits, rng, cfg_arrays, seen_row, allow_row):
     temperature, top_k, top_p, do_sample, rep = cfg_arrays
@@ -828,6 +835,8 @@ class DecodeEngine:
         kv_heavy: Optional[int] = None,
         pp_state=None,  # parallel.pp_serve.PPServeState → pp×tp serving
         decode_horizon: int = 1,  # fused decode steps per dispatch (≥1)
+        prefix_cache: int = 0,  # max cached prompt-prefix KV entries (0=off)
+        prefix_cache_min_tokens: int = 16,  # don't store shorter prompts
     ):
         self.params = params
         self.config = config
@@ -876,6 +885,23 @@ class DecodeEngine:
             # a chunk must still fit afterwards
             self.prefill_chunk = min(self.prefill_chunk, max_len - keep)
         self._with_mass = kv_policy == "h2o"
+
+        # ---- prompt-prefix KV cache (the vLLM automatic-prefix-caching
+        # analogue; the reference gets this via vLLM adoption,
+        # reference: transformers/modeling/modeling_auto.py:364-533).
+        # A finished admission's single-slot prompt cache is immutable
+        # (jitted steps never donate it), so storing it is a reference, not
+        # a copy; a later request whose prompt shares the prefix restores
+        # those rows and prefills only the tail. Each entry costs one
+        # slot-cache of HBM — keep the cap small. pp serving prefills the
+        # pool cache in place (no per-slot cache object), so the prefix
+        # cache is a no-op there.
+        self.prefix_cache = 0 if pp_state is not None else int(prefix_cache)
+        self.prefix_cache_min_tokens = max(2, int(prefix_cache_min_tokens))
+        self._prefix_lru: "OrderedDict[bytes, dict]" = OrderedDict()
+        self._prefix_mu = threading.Lock()  # warm_prefix runs caller-side
+        self._prefix_hits = 0
+        self._prefix_tokens_reused = 0
 
         def batched_cache(cfg):
             base = init_kv_cache(cfg, 1, max_len, dtype=kv_dtype)
@@ -998,22 +1024,124 @@ class DecodeEngine:
             "kv_policy": self.kv_policy or "none",
             "kv_compactions": self._compactions,
             "prefill_chunks": self._chunks,
+            "prefix_cache_entries": len(self._prefix_lru),
+            "prefix_cache_hits": self._prefix_hits,
+            "prefix_tokens_reused": self._prefix_tokens_reused,
         }
+
+    # ----------------------- prompt-prefix cache -----------------------
+
+    def _prefix_lookup(self, ids: np.ndarray):
+        """→ (entry, rows) for the longest stored prompt that is a prefix of
+        `ids`, capped at len(ids)-1 (the last prompt token must be prefilled
+        to produce the first sampled token's logits). (None, 0) on miss."""
+        best, best_rows = None, 0
+        with self._prefix_mu:
+            for key, entry in self._prefix_lru.items():
+                p = entry["ids"]
+                rows = min(len(p), len(ids) - 1)
+                if rows <= best_rows:
+                    continue
+                if self._draft_cache is not None and entry.get("dcache") is None:
+                    continue  # draft/target caches must restore together
+                if np.array_equal(p[:rows], ids[:rows]):
+                    best, best_rows = entry, rows
+            if best is not None:
+                self._prefix_lru.move_to_end(best["key"])
+        return best, best_rows
+
+    def _prefix_store(self, adm: dict) -> None:
+        ids = adm["prompt"]
+        if (
+            not self.prefix_cache
+            or adm["cache"] is None
+            or adm["compacted"]  # row↔token correspondence gone
+            or len(ids) < self.prefix_cache_min_tokens
+        ):
+            return
+        key = ids.tobytes()
+        with self._prefix_mu:
+            self._prefix_lru[key] = {
+                "key": key,
+                "ids": ids,
+                "cache": adm["cache"],
+                "dcache": adm["dcache"],
+                "mass": adm["mass"] if self._with_mass else None,
+            }
+            self._prefix_lru.move_to_end(key)
+            while len(self._prefix_lru) > self.prefix_cache:
+                self._prefix_lru.popitem(last=False)
+
+    def warm_prefix(self, prompt_ids) -> int:
+        """Prefill `prompt_ids` into the prefix cache without generating
+        (e.g. a system prompt at server start). → rows cached."""
+        if not self.prefix_cache:
+            return 0
+        ids = np.asarray(prompt_ids, np.int32).reshape(-1)
+        if len(ids) < self.prefix_cache_min_tokens:
+            return 0
+        cache = _fresh_slot_cache(self.config, self.max_len, self.kv_dtype)
+        dcache = (
+            _fresh_slot_cache(self.draft_config, self.max_len, self.kv_dtype)
+            if self._draft_cache is not None
+            else None
+        )
+        seen = jnp.zeros((self.config.vocab_size,), jnp.bool_)
+        mass = jnp.zeros((self.max_len,), jnp.float32)
+        C = self.prefill_chunk
+        t = min(len(ids), self.max_len - 1)
+        ids = ids[:t]
+        nc = max(1, -(-t // C))
+        padded = np.zeros((nc * C,), np.int32)
+        padded[:t] = ids
+        for i in range(nc):
+            chunk = jnp.asarray(padded[i * C:(i + 1) * C][None])
+            nv = jnp.int32(max(0, min(C, t - i * C)))
+            _, cache, seen, mass = _prefill_chunk(
+                self.params, self.config, cache, chunk, nv, seen, mass,
+                with_mass=self._with_mass,
+            )
+            if dcache is not None:
+                _, dcache, _, _ = _prefill_chunk(
+                    self.draft_params, self.draft_config, dcache, chunk, nv,
+                    seen, mass, with_mass=False,
+                )
+        self._prefix_store({
+            "prompt": ids, "cache": cache, "dcache": dcache, "mass": mass,
+            "compacted": False,
+        })
+        return t
 
     # --------------------------- admission ---------------------------
 
     def _begin_admission(self, req: EngineRequest, slot: int) -> None:
         ids = np.asarray(req.prompt_ids, np.int32).reshape(-1)
-        C = self.prefill_chunk
         t = len(ids)
-        nc = max(1, -(-t // C))
+        C = self.prefill_chunk
+        restored, entry = 0, None
+        if self.prefix_cache:
+            entry, restored = self._prefix_lookup(ids)
+            # chunk-align the restore point: tail chunks write C-row windows
+            # starting at `restored`, and a non-aligned start could push the
+            # last window past max_len (dynamic_update_slice would clamp it
+            # back over the restored rows). Rows in the partial block are
+            # re-prefilled from the identical tokens at identical positions.
+            restored = (restored // C) * C
+            if restored == 0:
+                entry = None
+        tail = ids[restored:]
+        tt = len(tail)
+        nc = max(1, -(-tt // C))
         padded = np.zeros((nc * C,), np.int32)
-        padded[:t] = ids
+        padded[:tt] = tail
         self._adm = {
             "req": req,
             "slot": slot,
+            "prompt": ids,
+            "compacted": False,  # compacted-during-admission caches are not
+            # storable: their row↔token correspondence is gone
             "chunks": [padded[i * C:(i + 1) * C][None] for i in range(nc)],
-            "n_valids": [max(0, min(C, t - i * C)) for i in range(nc)],
+            "n_valids": [max(0, min(C, tt - i * C)) for i in range(nc)],
             "ci": 0,
             "cache": (
                 None
@@ -1030,6 +1158,29 @@ class DecodeEngine:
             "last": None,
             "len": 0,  # true tokens prefilled so far (compaction-aware)
         }
+        if restored:
+            # adopt the stored prompt cache (immutable device arrays — a
+            # reference, not a copy) at `restored` rows and prefill only the
+            # tail. A partial match re-lengths the cache: rows past
+            # `restored` are stale but masked (length-based causal mask) and
+            # overwritten by the tail chunks before anything attends them.
+            adm = self._adm
+            adm["cache"] = _with_length(entry["cache"], restored)
+            if adm["dcache"] is not None and entry.get("dcache") is not None:
+                adm["dcache"] = _with_length(entry["dcache"], restored)
+            seen_np = np.zeros((self.config.vocab_size,), bool)
+            toks = ids[:restored]
+            # out-of-vocab ids (e.g. a tokenizer BOS past the model's vocab)
+            # are dropped, matching the prefill path's one_hot semantics
+            seen_np[toks[(toks >= 0) & (toks < len(seen_np))]] = True
+            adm["seen"] = jnp.asarray(seen_np)
+            if self._with_mass and entry.get("mass") is not None:
+                adm["mass"] = jnp.where(
+                    jnp.arange(self.max_len) < restored, entry["mass"], 0.0
+                )
+            adm["len"] = restored
+            self._prefix_hits += 1
+            self._prefix_tokens_reused += restored
         if self.pp_state is not None:
             # pp mode prefills IN PLACE into the pool cache; the reused slot
             # must restart from position 0
@@ -1084,6 +1235,7 @@ class DecodeEngine:
                 if self._with_mass:
                     adm["mass"] = _compact_mass(adm["mass"], keep_idx)
             adm["len"] = len(keep)
+            adm["compacted"] = True
             self._compactions += 1
         ids = jnp.asarray(adm["chunks"][ci])
         nv = jnp.int32(adm["n_valids"][ci])
@@ -1124,6 +1276,7 @@ class DecodeEngine:
     def _finish_admission(self, adm: dict) -> None:
         req: EngineRequest = adm["req"]
         slot = adm["slot"]
+        self._prefix_store(adm)
         self._temp[slot] = req.temperature
         self._topk[slot] = req.top_k
         self._topp[slot] = req.top_p

@@ -977,8 +977,20 @@ class NeuralChatServerExecutor:
             num_speculative_tokens=int(serving.get("num_speculative_tokens", 4)),
             kv_dtype=serving.get("kv_dtype", "bfloat16"),
             pp_state=pp_state,
+            prefix_cache=int(serving.get("prefix_cache", 0)),
+            prefix_cache_min_tokens=int(
+                serving.get("prefix_cache_min_tokens", 16)
+            ),
             **kv_kwargs,
         ).start()
+        # serving_config: {warm_prefix: "<system prompt>"} — prefill the
+        # shared prompt once at startup so every request admission restores
+        # it instead of recomputing (vLLM automatic-prefix-caching analogue)
+        warm = serving.get("warm_prefix")
+        tok = getattr(self.chatbot, "tokenizer", None)
+        if warm and self.engine.prefix_cache and tok is not None:
+            rows = self.engine.warm_prefix(tok.encode(warm))
+            logger.info("warmed prefix cache with %d prompt rows", rows)
         return self.engine
 
     @staticmethod

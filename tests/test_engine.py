@@ -158,6 +158,104 @@ def test_engine_rejects_oversized_prompt(engine):
         engine.submit(EngineRequest(np.zeros(4096, np.int32)))
 
 
+def test_engine_prefix_cache_parity_and_reuse(tiny):
+    """Prompt-prefix KV caching (vLLM automatic-prefix-caching analogue,
+    reference: modeling_auto.py:364-533 vLLM adoption): repeated / extended /
+    truncated prompts restore stored rows and still decode EXACTLY like the
+    single-request reference."""
+    params, config = tiny
+    eng = DecodeEngine(
+        params, config, max_slots=2, max_len=128, prefill_chunk=8,
+        prefix_cache=4, prefix_cache_min_tokens=4,
+    ).start()
+    try:
+        base = (np.arange(1, 25, dtype=np.int32) * 7) % 250 + 1
+        ref0 = generate(params, config, base, SamplingConfig(max_new_tokens=8))[0]
+        out0 = eng.generate(base, max_new_tokens=8)
+        np.testing.assert_array_equal(ref0, np.array(out0))
+        assert eng.stats()["prefix_cache_entries"] == 1
+
+        # exact re-submit: restores the chunk-aligned floor of len-1 rows
+        # and prefills only the final partial block
+        out1 = eng.generate(base, max_new_tokens=8)
+        np.testing.assert_array_equal(ref0, np.array(out1))
+        s = eng.stats()
+        assert s["prefix_cache_hits"] == 1
+        assert s["prefix_tokens_reused"] == (len(base) - 1) // 8 * 8
+
+        # extended prompt sharing the stored prefix (multi-turn chat shape)
+        ext = np.concatenate([base, np.array([7, 9, 11, 13, 2], np.int32)])
+        ref2 = generate(params, config, ext, SamplingConfig(max_new_tokens=8))[0]
+        out2 = eng.generate(ext, max_new_tokens=8)
+        np.testing.assert_array_equal(ref2, np.array(out2))
+        assert eng.stats()["prefix_cache_hits"] == 2
+
+        # a prompt that is a strict PREFIX of a stored one (partial restore:
+        # stale rows past the restore length must stay masked)
+        short = base[:10]
+        ref3 = generate(params, config, short, SamplingConfig(max_new_tokens=8))[0]
+        out3 = eng.generate(short, max_new_tokens=8)
+        np.testing.assert_array_equal(ref3, np.array(out3))
+        assert eng.stats()["prefix_cache_hits"] == 3
+
+        # prompts below min_tokens are never stored; LRU cap holds
+        eng.generate(np.array([3, 1], np.int32), max_new_tokens=2)
+        assert eng.stats()["prefix_cache_entries"] <= 4
+    finally:
+        eng.stop()
+
+
+def test_engine_warm_prefix_and_lru(tiny):
+    """warm_prefix() pre-fills a system prompt at startup; the first real
+    request already hits. The LRU cap bounds entries."""
+    params, config = tiny
+    eng = DecodeEngine(
+        params, config, max_slots=2, max_len=128, prefill_chunk=8,
+        prefix_cache=1, prefix_cache_min_tokens=4,
+    ).start()
+    try:
+        system = (np.arange(1, 33, dtype=np.int32) * 3) % 250 + 1
+        rows = eng.warm_prefix(system)
+        assert rows == len(system)
+        prompt = np.concatenate([system, np.array([9, 4, 2], np.int32)])
+        ref = generate(params, config, prompt, SamplingConfig(max_new_tokens=8))[0]
+        out = eng.generate(prompt, max_new_tokens=8)
+        np.testing.assert_array_equal(ref, np.array(out))
+        s = eng.stats()
+        assert s["prefix_cache_hits"] == 1
+        assert s["prefix_tokens_reused"] == len(system)
+        # cap=1: the finished admission's longer entry evicted the warm one
+        assert s["prefix_cache_entries"] == 1
+        other = (np.arange(1, 20, dtype=np.int32) * 11) % 250 + 1
+        eng.generate(other, max_new_tokens=4)
+        assert eng.stats()["prefix_cache_entries"] == 1
+    finally:
+        eng.stop()
+
+
+def test_engine_prefix_cache_with_speculative(tiny):
+    """Prefix restore must keep draft and target caches consistent — greedy
+    output stays bit-exact with an adversarial draft."""
+    params, config = tiny
+    draft_params = llama_init_params(jax.random.PRNGKey(321), config)
+    eng = DecodeEngine(
+        params, config, max_slots=2, max_len=128,
+        draft_params=draft_params, draft_config=config,
+        num_speculative_tokens=3, prefill_chunk=8,
+        prefix_cache=2, prefix_cache_min_tokens=4,
+    ).start()
+    try:
+        base = (np.arange(1, 21, dtype=np.int32) * 5) % 250 + 1
+        ref = generate(params, config, base, SamplingConfig(max_new_tokens=10))[0]
+        out0 = eng.generate(base, max_new_tokens=10)
+        np.testing.assert_array_equal(ref, np.array(out0))
+        out1 = eng.generate(base, max_new_tokens=10)  # hit path
+        np.testing.assert_array_equal(ref, np.array(out1))
+        assert eng.stats()["prefix_cache_hits"] == 1
+    finally:
+        eng.stop()
+
+
 def test_server_guided_choice(cb_server):
     """guided_choice over HTTP: the completion is exactly one of the
     offered strings (vLLM-style constrained decoding extension)."""
