@@ -439,6 +439,46 @@ def _moe_mlp(mlp, x, config: LlamaConfig):
             return dequantize_stacked(w, dtype=x.dtype)
         return w.astype(x.dtype)
 
+    if M * k < E:
+        # single/few-stream decode: GATHER only the selected experts'
+        # (packed) weight blocks instead of streaming all E. Decode is
+        # HBM-bound, so this cuts per-token expert traffic to k/E of the
+        # dense-all-experts path (4x for Mixtral top-2-of-8 at M=1). The
+        # gather is a whole-block take on the leading expert dim —
+        # contiguous DMA (see CLAUDE.md gather-granularity note).
+        from intel_extension_for_transformers_tpu.ops.packing import (
+            QuantizedTensor,
+            dequantize_stacked,
+        )
+        from dataclasses import replace as _replace
+
+        idx = experts.reshape(-1)  # (M·k,)
+
+        def gather_stack(w):
+            if isinstance(w, QuantizedTensor):
+                qt = _replace(
+                    w,
+                    data=jnp.take(w.data, idx, axis=0),
+                    scales=jnp.take(w.scales, idx, axis=0),
+                    zeros=None if w.zeros is None
+                    else jnp.take(w.zeros, idx, axis=0),
+                )
+                return dequantize_stacked(qt, dtype=x.dtype)  # (M·k, K, N)
+            return jnp.take(w, idx, axis=0).astype(x.dtype)
+
+        gw = gather_stack(ex["gate"]).reshape(M, k, H, -1)
+        uw = gather_stack(ex["up"]).reshape(M, k, H, -1)
+        g = jnp.einsum("mh,mjhf->mjf", xt, gw,
+                       preferred_element_type=jnp.float32)
+        u = jnp.einsum("mh,mjhf->mjf", xt, uw,
+                       preferred_element_type=jnp.float32)
+        y = (jax.nn.silu(g) * u).astype(x.dtype)
+        dw = gather_stack(ex["down"]).reshape(M, k, -1, H)
+        o = jnp.einsum("mjf,mjfh->mjh", y, dw,
+                       preferred_element_type=jnp.float32)  # (M, k, H)
+        out = jnp.einsum("mjh,mj->mh", o, weights.astype(jnp.float32))
+        return out.astype(x.dtype).reshape(B, T, H)
+
     if M <= 8:
         # decode-size dense path: run ALL experts on the few tokens and
         # weight by the (renormalized) top-k routing probs. At M this small

@@ -141,3 +141,38 @@ def test_moe_expert_weight_only_quantization():
     got = np.asarray(got) - np.asarray(got).max(-1, keepdims=True)
     # int4 g32 RTN tolerance on a tiny random model
     assert np.abs(ref - got).mean() < 0.5
+
+
+def test_moe_gathered_decode_parity():
+    """The M·k<E decode branch gathers ONLY the selected experts' packed
+    blocks (k/E of the dense-all-experts HBM traffic). It must produce the
+    same logits as the full-sequence (ragged) path — fp32 AND int4 expert
+    stacks — via a cached single-token decode, which lands at M=1."""
+    from intel_extension_for_transformers_tpu.models.llama import (
+        init_kv_cache,
+    )
+    from intel_extension_for_transformers_tpu.quantization import (
+        RtnConfig,
+        quantize_model,
+    )
+
+    cfg = LlamaConfig.tiny(
+        vocab_size=64, max_position_embeddings=64,
+        num_local_experts=4, num_experts_per_tok=2,
+    )
+    ids = jnp.asarray(np.arange(12, dtype=np.int32)[None, :] % 64)
+
+    for quantized in (False, True):
+        params = llama_init_params(jax.random.PRNGKey(1), cfg)
+        if quantized:
+            params = quantize_model(
+                params, RtnConfig(weight_dtype="int4", group_size=16)
+            ).params
+        full, _ = llama_apply(params, cfg, ids)          # ragged path, M=24
+        cache = init_kv_cache(cfg, 1, 16)
+        _, cache = llama_apply(params, cfg, ids[:, :11], cache)
+        last, _ = llama_apply(params, cfg, ids[:, 11:], cache)  # M=1 gather
+        np.testing.assert_allclose(
+            np.asarray(full[:, -1]), np.asarray(last[:, -1]),
+            rtol=2e-3, atol=2e-3,
+        )
