@@ -35,7 +35,8 @@ def run_engine(params, config, *, slots, horizon, tokens, prompt_len):
     )
 
     eng = DecodeEngine(
-        params, config, max_slots=slots, max_len=prompt_len + tokens + 8,
+        params, config,
+        max_slots=slots, max_len=prompt_len + tokens + max(8, horizon),
         prefill_chunk=64, decode_horizon=horizon,
     ).start()
     try:

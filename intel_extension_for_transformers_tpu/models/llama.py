@@ -439,7 +439,9 @@ def _moe_mlp(mlp, x, config: LlamaConfig):
             return dequantize_stacked(w, dtype=x.dtype)
         return w.astype(x.dtype)
 
-    if M * k < E:
+    import os as _os
+
+    if M * k < E and not _os.environ.get("ITX_MOE_DENSE_DECODE"):
         # single/few-stream decode: GATHER only the selected experts'
         # (packed) weight blocks instead of streaming all E. Decode is
         # HBM-bound, so this cuts per-token expert traffic to k/E of the
@@ -448,35 +450,38 @@ def _moe_mlp(mlp, x, config: LlamaConfig):
         # contiguous DMA (see CLAUDE.md gather-granularity note).
         from intel_extension_for_transformers_tpu.ops.packing import (
             QuantizedTensor,
-            dequantize_stacked,
         )
         from dataclasses import replace as _replace
 
-        idx = experts.reshape(-1)  # (M·k,)
-
-        def gather_stack(w):
+        def pick(w, e_idx):
+            # dynamic-index ONE expert's block out of the stack; a packed
+            # QuantizedTensor stays packed — `dense` routes it through the
+            # Pallas WOQ kernel, which decodes nibbles in VMEM (no (K, N)
+            # bf16 materialization in HBM, unlike dequantize_stacked)
             if isinstance(w, QuantizedTensor):
-                qt = _replace(
-                    w,
-                    data=jnp.take(w.data, idx, axis=0),
-                    scales=jnp.take(w.scales, idx, axis=0),
-                    zeros=None if w.zeros is None
-                    else jnp.take(w.zeros, idx, axis=0),
+                sel = lambda a: (  # noqa: E731
+                    None if a is None
+                    else jax.lax.dynamic_index_in_dim(a, e_idx, 0, False)
                 )
-                return dequantize_stacked(qt, dtype=x.dtype)  # (M·k, K, N)
-            return jnp.take(w, idx, axis=0).astype(x.dtype)
+                return _replace(w, data=sel(w.data), scales=sel(w.scales),
+                                zeros=sel(w.zeros),
+                                pre_scale=sel(w.pre_scale))
+            return jax.lax.dynamic_index_in_dim(w, e_idx, 0, False)
 
-        gw = gather_stack(ex["gate"]).reshape(M, k, H, -1)
-        uw = gather_stack(ex["up"]).reshape(M, k, H, -1)
-        g = jnp.einsum("mh,mjhf->mjf", xt, gw,
-                       preferred_element_type=jnp.float32)
-        u = jnp.einsum("mh,mjhf->mjf", xt, uw,
-                       preferred_element_type=jnp.float32)
-        y = (jax.nn.silu(g) * u).astype(x.dtype)
-        dw = gather_stack(ex["down"]).reshape(M, k, -1, H)
-        o = jnp.einsum("mjf,mjfh->mjh", y, dw,
-                       preferred_element_type=jnp.float32)  # (M, k, H)
-        out = jnp.einsum("mjh,mj->mh", o, weights.astype(jnp.float32))
+        outs = []
+        for m in range(M):  # M·k < E ≤ a handful: unrolled at trace time
+            x_m = jax.lax.dynamic_slice_in_dim(xt, m, 1, 0)  # (1, H)
+            acc = jnp.zeros((1, H), jnp.float32)
+            for j in range(k):
+                e_idx = experts[m, j]
+                g = dense(x_m, pick(ex["gate"], e_idx))
+                u = dense(x_m, pick(ex["up"], e_idx))
+                y = (jax.nn.silu(g.astype(jnp.float32))
+                     * u.astype(jnp.float32)).astype(x.dtype)
+                o = dense(y, pick(ex["down"], e_idx))
+                acc = acc + o.astype(jnp.float32) * weights[m, j]
+            outs.append(acc)
+        out = jnp.concatenate(outs, axis=0)  # (M, H)
         return out.astype(x.dtype).reshape(B, T, H)
 
     if M <= 8:
