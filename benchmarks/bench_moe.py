@@ -143,10 +143,14 @@ def main():
 
     out = {}
     for variant in ("gather", "dense"):
+        # explicit child env: a stray ITX_MOE_DENSE_DECODE in the caller's
+        # shell must not silently turn the gather child dense (ADVICE r3)
+        env = {k: v for k, v in os.environ.items()
+               if k != "ITX_MOE_DENSE_DECODE"}
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--layers", str(args.layers), "--variant", variant],
-            capture_output=True, text=True,
+            capture_output=True, text=True, env=env,
         )
         sys.stderr.write(r.stderr)
         if r.returncode != 0:

@@ -441,6 +441,10 @@ def _moe_mlp(mlp, x, config: LlamaConfig):
 
     import os as _os
 
+    # NOTE: ITX_MOE_DENSE_DECODE is TRACE-TIME (process-level): it is read
+    # while jit traces this function, so flipping it after a program has
+    # compiled has no effect in that process — set it before first use
+    # (benchmarks run each variant in its own subprocess for this reason).
     if M * k < E and not _os.environ.get("ITX_MOE_DENSE_DECODE"):
         # single/few-stream decode: GATHER only the selected experts'
         # (packed) weight blocks instead of streaming all E. Decode is
@@ -459,13 +463,21 @@ def _moe_mlp(mlp, x, config: LlamaConfig):
             # Pallas WOQ kernel, which decodes nibbles in VMEM (no (K, N)
             # bf16 materialization in HBM, unlike dequantize_stacked)
             if isinstance(w, QuantizedTensor):
+                if w.pre_scale is not None:
+                    # pre_scale's contract is per-K (K,), not per-expert;
+                    # a stacked (E, K) variant is not defined (the dense
+                    # and ragged paths drop it entirely) — refuse rather
+                    # than slice it along K silently (ADVICE r3)
+                    raise ValueError(
+                        "stacked expert QuantizedTensor must not carry "
+                        "pre_scale; fold it into scales at pack time"
+                    )
                 sel = lambda a: (  # noqa: E731
                     None if a is None
                     else jax.lax.dynamic_index_in_dim(a, e_idx, 0, False)
                 )
                 return _replace(w, data=sel(w.data), scales=sel(w.scales),
-                                zeros=sel(w.zeros),
-                                pre_scale=sel(w.pre_scale))
+                                zeros=sel(w.zeros))
             return jax.lax.dynamic_index_in_dim(w, e_idx, 0, False)
 
         outs = []

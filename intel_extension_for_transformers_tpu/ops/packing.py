@@ -366,6 +366,13 @@ def quantize_groupwise_stacked(
 
 def dequantize_stacked(qt: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
     """Inverse of quantize_groupwise_stacked → (E, K, N)."""
+    if qt.pre_scale is not None:
+        # pre_scale's contract is per-K (K,); no stacked (E, K) variant is
+        # defined and dropping it silently diverges from the 2-D dequant —
+        # fold it into scales at pack time instead (ADVICE r3)
+        raise ValueError(
+            "stacked QuantizedTensor must not carry pre_scale"
+        )
     per = QuantizedTensor(
         data=None, scales=None, zeros=None,
         weight_dtype=qt.weight_dtype, scheme=qt.scheme,

@@ -553,6 +553,46 @@ def test_engine_with_ep_sharded_moe():
         eng.stop()
 
 
+def test_engine_ep_moe_gather_branch():
+    """EP-sharded MoE where pooled decode has M·k < E, so the
+    GATHERED-experts decode path (llama.py _moe_mlp pick(): dynamic-index
+    along the ep-sharded expert dim) actually executes under GSPMD — exact
+    greedy parity vs the unsharded reference. The older EP test
+    (test_engine_with_ep_sharded_moe: E=4, k=2, slots=2 → M·k=4 ≮ 4) never
+    reached this branch (ADVICE r3 medium)."""
+    from intel_extension_for_transformers_tpu.models.llama import (
+        LlamaConfig,
+        llama_init_params,
+        llama_param_axes,
+    )
+    from intel_extension_for_transformers_tpu.parallel import (
+        create_mesh,
+        shard_params,
+    )
+
+    config = LlamaConfig.tiny(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_local_experts=8, num_experts_per_tok=2,
+    )
+    assert 2 * config.num_experts_per_tok < config.num_local_experts
+    params = llama_init_params(jax.random.PRNGKey(11), config)
+    mesh = create_mesh(dp=2, ep=4)
+    sharded = shard_params(params, llama_param_axes(config), mesh)
+    leaf = sharded["layers"][0]["mlp"]["experts"]["gate"]
+    assert not leaf.sharding.is_fully_replicated
+
+    eng = DecodeEngine(sharded, config, max_slots=2, max_len=64).start()
+    try:
+        for seed_prompt in ([5, 17, 99, 3], [7, 1, 64]):
+            prompt = np.array(seed_prompt, np.int32)
+            ref = generate(params, config, prompt,
+                           SamplingConfig(max_new_tokens=8))[0]
+            out = eng.generate(prompt, max_new_tokens=8)
+            np.testing.assert_array_equal(ref, np.array(out))
+    finally:
+        eng.stop()
+
+
 def test_engine_dead_step_thread_fails_fast(tiny):
     """If the step thread dies, waiting consumers get a RuntimeError and
     later submits are rejected — never a silent forever-hang (regression:
