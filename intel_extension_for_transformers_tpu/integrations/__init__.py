@@ -1,3 +1,7 @@
+from intel_extension_for_transformers_tpu.integrations.instructor import (
+    InstructorEmbedder,
+    InstructorEmbeddings,
+)
 from intel_extension_for_transformers_tpu.integrations.langchain import (
     BgeReranker,
     Chroma,
@@ -5,6 +9,7 @@ from intel_extension_for_transformers_tpu.integrations.langchain import (
     HuggingFaceBgeEmbeddings,
     HuggingFaceEmbeddings,
 )
+from intel_extension_for_transformers_tpu.integrations.qdrant import Qdrant
 
 __all__ = [
     "BgeReranker",
@@ -12,4 +17,7 @@ __all__ = [
     "Document",
     "HuggingFaceBgeEmbeddings",
     "HuggingFaceEmbeddings",
+    "InstructorEmbedder",
+    "InstructorEmbeddings",
+    "Qdrant",
 ]
