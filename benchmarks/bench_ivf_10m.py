@@ -30,8 +30,8 @@ def main():
     p.add_argument("--n", type=int, default=10_000_000)
     p.add_argument("--dim", type=int, default=768)
     p.add_argument("--n-lists", type=int, default=4096)
-    p.add_argument("--nprobe", type=int, nargs="+", default=[32, 64, 128])
-    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--nprobe", type=int, nargs="+", default=[32, 16, 64])
+    p.add_argument("--batch", type=int, default=64)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--eval-queries", type=int, default=64)
     p.add_argument("--dtypes", nargs="+", default=["int4", "int8"])
@@ -188,55 +188,53 @@ def main():
 
 
 def run_search_phase(args, dt, idx, qd, queries, best_i, build_s):
+    """QPS/recall per nprobe through the FUSED Pallas scan (ops/ivf_scan.py)
+    — the XLA coded path OOM'd 16 GB HBM at this scale even at batch 8
+    (~14 B of decode temps per candidate element); the kernel decodes in
+    VMEM and reads each probed list's packed block once per batch."""
     import jax
     import jax.numpy as jnp
 
-    from intel_extension_for_transformers_tpu.retrieval.ivf import (
-        _auto_query_chunk,
-        _ivf_search_coded,
+    from intel_extension_for_transformers_tpu.ops.ivf_scan import (
+        ivf_scan_topk,
     )
 
     NQ = args.eval_queries
+    idx._ensure_kernel_layout()
+    C, L = idx.n_lists, idx._list_cap
+    storage3 = idx._storage.reshape(C, L, -1)
+    scales3 = idx._scales.reshape(C, L, -1)
+    rids2 = idx._row_ids.reshape(C, L)
 
-    # one build, a QPS/recall point per nprobe (the interesting curve at a
-    # fixed memory budget). Recall in small query batches — the bounded
-    # gather is (B, nprobe·L, D).
-    q = queries[: args.batch]
+    q = jnp.asarray(queries[: args.batch], jnp.float32)
     points = {}
     for nprobe in args.nprobe:
         hits = 0
         for j in range(0, NQ, args.batch):
-            _, ids = idx.search(qd[j:j + args.batch], k=10, nprobe=nprobe)
+            _, ids = idx.search(qd[j:j + args.batch], k=10, nprobe=nprobe,
+                                use_kernel=True)
             ids = np.asarray(ids)
             for r, row in enumerate(ids):
                 hits += len(set(row.tolist()) & set(best_i[j + r].tolist()))
         rec = hits / (NQ * 10)
 
         # fused-loop QPS (arguments, not closure constants — relay 413 rule)
-        kwargs = dict(
-            k=10, nprobe=nprobe, list_cap=idx._list_cap,
-            # same decode-temp bound the IVFIndex.search path applies — the
-            # direct _ivf_search_coded call here previously OOM'd 16 GB HBM
-            # at batch 8 (10.05 GB of gather+decode temps)
-            query_chunk=_auto_query_chunk(
-                args.batch, nprobe, idx._list_cap, args.dim
-            ),
-        )
-
         @jax.jit
         def loop(qq, cent, storage, scales, row_ids):
             def body(i, acc):
                 qi = qq + 0 * i.astype(qq.dtype)
-                _, ii = _ivf_search_coded(
-                    qi, cent, storage, scales, row_ids,
-                    group_size=idx.group_size, bits=idx._bits, **kwargs,
+                csims = qi @ cent.T.astype(jnp.float32)
+                _, probes = jax.lax.top_k(csims, nprobe)
+                _, ii = ivf_scan_topk(
+                    qi, cent, storage, scales, row_ids, probes,
+                    k=10, bits=idx._bits, group_size=idx.group_size,
+                    l_blk=idx._l_blk,
                 )
                 return acc + ii[0, 0]
 
             return jax.lax.fori_loop(0, args.iters, body, jnp.int32(0))
 
-        operands = (q, idx.centroids, idx._storage, idx._scales,
-                    idx._row_ids)
+        operands = (q, idx.centroids, storage3, scales3, rids2)
         int(loop(*operands))
         t0 = time.perf_counter()
         int(loop(*operands))

@@ -981,6 +981,7 @@ class NeuralChatServerExecutor:
             prefix_cache_min_tokens=int(
                 serving.get("prefix_cache_min_tokens", 16)
             ),
+            max_admissions=int(serving.get("max_admissions", 2)),
             **kv_kwargs,
         ).start()
         # serving_config: {warm_prefix: "<system prompt>"} — prefill the

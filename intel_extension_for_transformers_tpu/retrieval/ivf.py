@@ -342,6 +342,7 @@ class IVFIndex:
         self.dropped = 0  # spill mode: rows whose top-2 lists were both full
         self.centroids: Optional[jax.Array] = None  # (C, D) f32
         self._list_cap = max(8, list_cap)
+        self._l_blk: Optional[int] = None  # fused-scan sub-block (coded)
         self._storage: Optional[jax.Array] = None  # (C*L, D) | int4: (C*L, D/2)
         self._scales: Optional[jax.Array] = None  # int4: (C*L, D/g) bf16
         self._row_ids: Optional[jax.Array] = None  # (C*L,) -1 = empty
@@ -379,6 +380,14 @@ class IVFIndex:
     def _alloc(self, L: int) -> None:
         C = self.n_lists
         if self.dtype in ("int4", "int8"):
+            # round the cap up to the fused-scan kernel's blocking so fresh
+            # builds need no pad-copy at search time (≤~5% extra slots,
+            # which the spill insert can also use)
+            from intel_extension_for_transformers_tpu.ops.ivf_scan import (
+                choose_blocking,
+            )
+
+            self._l_blk, L = choose_blocking(L)
             W = self.dim // 2 if self.dtype == "int4" else self.dim
             self._storage = jnp.zeros((C * L, W), jnp.int8)
             self._scales = jnp.zeros(
@@ -411,6 +420,19 @@ class IVFIndex:
             [ri, jnp.full((C, pad), -1, jnp.int32)], axis=1
         ).reshape(C * new_cap)
         self._list_cap = new_cap
+
+    def _ensure_kernel_layout(self) -> None:
+        """Pad the list cap to the fused-scan kernel's blocking (no-op when
+        `_alloc` already aligned it — only indexes loaded from pre-kernel
+        saves need the one-time pad; `_grow_lists` does the zero/-1 pad)."""
+        from intel_extension_for_transformers_tpu.ops.ivf_scan import (
+            choose_blocking,
+        )
+
+        l_blk, l_pad = choose_blocking(self._list_cap)
+        self._l_blk = l_blk
+        if l_pad != self._list_cap:
+            self._grow_lists(l_pad)
 
     def add(self, vectors) -> np.ndarray:
         if self.centroids is None:
@@ -465,7 +487,14 @@ class IVFIndex:
         self.size += v.shape[0]
         return ids
 
-    def search(self, queries, k: int = 10, nprobe: int = 8):
+    def search(self, queries, k: int = 10, nprobe: int = 8,
+               use_kernel: Optional[bool] = None):
+        """Bounded-probe top-k. Coded dtypes route through the FUSED Pallas
+        scan (`ops/ivf_scan.py`) on TPU by default — it reads each probed
+        list's packed block once and keeps decode in VMEM, where the XLA
+        path streams ~14 B/candidate-element of HBM decode temps (OOM at
+        10M×768 batch 8). `use_kernel=False` forces the XLA path;
+        `use_kernel=True` forces the kernel (interpret mode off-TPU)."""
         if self.size == 0:
             raise ValueError("index is empty")
         q = jnp.asarray(queries, jnp.float32)
@@ -477,6 +506,33 @@ class IVFIndex:
         nprobe = min(nprobe, self.n_lists)
         k = min(k, self.size)
         if self.dtype in ("int4", "int8"):
+            if use_kernel is None:
+                from intel_extension_for_transformers_tpu.utils.device import (
+                    use_pallas_interpret,
+                )
+
+                use_kernel = not use_pallas_interpret()
+            if use_kernel:
+                from intel_extension_for_transformers_tpu.ops.ivf_scan import (
+                    ivf_scan_topk,
+                )
+
+                self._ensure_kernel_layout()
+                C, L = self.n_lists, self._list_cap
+                csims = q @ self.centroids.T.astype(jnp.float32)
+                _, probes = jax.lax.top_k(csims, nprobe)
+                scores, ids = ivf_scan_topk(
+                    q, self.centroids,
+                    self._storage.reshape(C, L, -1),
+                    self._scales.reshape(C, L, -1),
+                    self._row_ids.reshape(C, L),
+                    probes, k=k, bits=self._bits,
+                    group_size=self.group_size, l_blk=self._l_blk,
+                )
+                scores, ids = np.asarray(scores), np.asarray(ids)
+                if squeeze:
+                    return scores[0], ids[0]
+                return scores, ids
             scores, ids = _ivf_search_coded(
                 q, self.centroids, self._storage, self._scales, self._row_ids,
                 k=k, nprobe=nprobe, list_cap=self._list_cap,
