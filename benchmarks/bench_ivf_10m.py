@@ -40,6 +40,14 @@ def main():
                    "int8 at 10M needs ~1.35 to fit the padded block table "
                    "in 16 GB HBM next to a 3 GB generation chunk")
     p.add_argument("--single", action="store_true")
+    p.add_argument("--constrained", action="store_true",
+                   help="capacity-constrained Lloyd training (halves list "
+                   "skew on clustered data → fewer spill drops)")
+    p.add_argument("--hierarchical", type=int, default=0,
+                   help="two-level mass-proportional quantizer with this "
+                   "many level-1 regions (-1 = C//8); kills the flat-Lloyd "
+                   "mass tail that drop-limits recall at 10M")
+    p.add_argument("--train-n", type=int, default=200_000)
     p.add_argument("--state-dir", default=None,
                    help="save the built index + oracle there (or load them "
                    "if present) so a flaky search-phase compile does not "
@@ -55,12 +63,16 @@ def main():
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--single", "--dtypes", dt]
             for k in ("n", "dim", "n_lists", "nprobe", "batch", "iters",
-                      "eval_queries", "cap_ratio", "state_dir"):
+                      "eval_queries", "cap_ratio", "state_dir", "train_n"):
                 v = getattr(args, k)
                 if v is None:
                     continue
                 vals = v if isinstance(v, list) else [v]
                 cmd += [f"--{k.replace('_', '-')}"] + [str(x) for x in vals]
+            if args.constrained:
+                cmd += ["--constrained"]
+            if args.hierarchical:
+                cmd += ["--hierarchical", str(args.hierarchical)]
             r = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=14400)
             sys.stderr.write(r.stderr[-3000:])
@@ -132,9 +144,15 @@ def main():
     idx = IVFIndex(dim=args.dim, n_lists=args.n_lists, dtype=dt,
                    list_cap=cap, group_size=32, spill=True)
     t0 = time.time()
-    train_n = min(200_000, len(first))
-    idx.train(first[:train_n], iters=6,
-              balance_ratio=1.3, balance_rounds=8)
+    train_n = min(args.train_n, len(first))
+    if args.hierarchical:
+        kw = dict(hierarchical=(True if args.hierarchical < 0
+                                else args.hierarchical))
+    elif args.constrained:
+        kw = dict(constrained=True)
+    else:
+        kw = dict(balance_ratio=1.3, balance_rounds=8)
+    idx.train(first[:train_n], iters=6, **kw)
     print(f"[{dt}] trained in {time.time()-t0:.0f}s; hard list cap {cap} "
           f"(avg {args.n // args.n_lists})", file=sys.stderr, flush=True)
 
@@ -202,6 +220,10 @@ def run_search_phase(args, dt, idx, qd, queries, best_i, build_s):
     NQ = args.eval_queries
     idx._ensure_kernel_layout()
     C, L = idx.n_lists, idx._list_cap
+    fills = np.asarray((idx._row_ids.reshape(C, L) >= 0).sum(axis=1))
+    print(f"[{dt}] list fill: mean {fills.mean():.0f} max {fills.max()} "
+          f"full {(fills >= L).sum()}/{C} dropped {idx.dropped:,}",
+          file=sys.stderr, flush=True)
     storage3 = idx._storage.reshape(C, L, -1)
     scales3 = idx._scales.reshape(C, L, -1)
     rids2 = idx._row_ids.reshape(C, L)

@@ -42,6 +42,11 @@ def main():
                    help="comma list; default = all")
     p.add_argument("--scheme", default="sym", choices=["sym", "asym"])
     p.add_argument("--layout", default="khalf", choices=["khalf", "w32"])
+    p.add_argument("--rotate", type=int, default=8,
+                   help="weight copies cycled inside the loop so no "
+                   "cross-iteration HBM/cache residency can inflate GB/s "
+                   "(round-3 VERDICT #5; the chip-characterization probe "
+                   "rotates the same way)")
     args = p.parse_args()
 
     import jax
@@ -56,52 +61,69 @@ def main():
     from intel_extension_for_transformers_tpu.ops.quant_matmul import woq_matmul
 
     names = args.shapes.split(",") if args.shapes else list(SHAPES)
+    R = max(1, args.rotate)
     results = {}
     for name in names:
         K, N, g = SHAPES[name]
-        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
-        data = jax.random.randint(k1, (K // 2, N), -128, 128, jnp.int8)
-        scales = jax.random.uniform(k2, (K // g, N), jnp.float32, 0.005, 0.025)
-        zeros = (jax.random.uniform(k3, (K // g, N), jnp.float32, -2.0, 2.0)
-                 if args.scheme == "asym" else None)
-        qt = QuantizedTensor(data=data, scales=scales, zeros=zeros,
-                             weight_dtype="int4", scheme=args.scheme,
-                             group_size=g, K=K, N=N)
-        if args.layout == "w32":
-            from intel_extension_for_transformers_tpu.ops.packing import (
-                to_decode_layout,
-            )
+        qts = []
+        for r in range(R):
+            k1, k2, k3 = jax.random.split(jax.random.PRNGKey(r), 3)
+            data = jax.random.randint(k1, (K // 2, N), -128, 128, jnp.int8)
+            scales = jax.random.uniform(k2, (K // g, N), jnp.float32,
+                                        0.005, 0.025)
+            zeros = (jax.random.uniform(k3, (K // g, N), jnp.float32,
+                                        -2.0, 2.0)
+                     if args.scheme == "asym" else None)
+            qt = QuantizedTensor(data=data, scales=scales, zeros=zeros,
+                                 weight_dtype="int4", scheme=args.scheme,
+                                 group_size=g, K=K, N=N)
+            if args.layout == "w32":
+                from intel_extension_for_transformers_tpu.ops.packing import (
+                    to_decode_layout,
+                )
 
-            qt = jax.jit(to_decode_layout)(qt)
+                qt = jax.jit(to_decode_layout)(qt)
+            qts.append(qt)
+        # R distinct weight copies, every one a separate loop-body operand
+        # (NOT a stacked array: a dynamic slice would materialize a temp
+        # copy before the kernel call and triple the measured traffic).
+        # Each fori_loop iteration streams ALL R copies back-to-back —
+        # the working set (R × packed bytes, ≥260 MB) exceeds any on-chip
+        # residency, so no iteration can be served by the previous one's
+        # weight. Per-matmul time = slope / (iters · R).
+        scales0 = qts[0].scales
+        zeros0 = qts[0].zeros
         x0 = jax.random.normal(jax.random.PRNGKey(1), (args.m, K), jnp.bfloat16)
 
         @functools.partial(jax.jit, static_argnums=(2,))
-        def loop(x0, qt, iters):
+        def loop(x0, qts, iters):
             def body(_, x):
-                out = woq_matmul(x, qt, out_dtype=jnp.bfloat16)
-                # feed a reduction of the output back so no iteration can be
-                # CSE'd/hoisted; the extra work is O(N) per step
-                bump = jnp.sum(out, axis=-1, keepdims=True) * jnp.bfloat16(1e-30)
-                return x + bump
+                for qt in qts:
+                    out = woq_matmul(x, qt, out_dtype=jnp.bfloat16)
+                    # feed a reduction of the output back so no iteration
+                    # can be CSE'd/hoisted; the extra work is O(N) per step
+                    x = x + jnp.sum(out, axis=-1, keepdims=True) * \
+                        jnp.bfloat16(1e-30)
+                return x
             return jax.lax.fori_loop(0, iters, body, x0)
 
         # Differential timing: the relay adds ~30 ms per dispatch, so time two
         # iteration counts and take the slope — pure per-iteration cost.
-        lo_it, hi_it = args.iters, args.iters * 6
-        out = loop(x0, qt, lo_it)
+        lo_it, hi_it = max(1, args.iters // R), max(2, args.iters * 6 // R)
+        out = loop(x0, tuple(qts), lo_it)
         float(out[0, 0])  # warmup + compile, scalar readback syncs the relay
-        out = loop(x0, qt, hi_it)
+        out = loop(x0, tuple(qts), hi_it)
         float(out[0, 0])
         t0 = time.perf_counter()
-        out = loop(x0, qt, lo_it)
+        out = loop(x0, tuple(qts), lo_it)
         float(out[0, 0])
         t1 = time.perf_counter()
-        out = loop(x0, qt, hi_it)
+        out = loop(x0, tuple(qts), hi_it)
         float(out[0, 0])
         t2 = time.perf_counter()
-        dt = ((t2 - t1) - (t1 - t0)) / (hi_it - lo_it)
-        gbytes = (K * N / 2 + scales.size * 4
-                  + (zeros.size * 4 if zeros is not None else 0)) / 1e9
+        dt = ((t2 - t1) - (t1 - t0)) / ((hi_it - lo_it) * R)
+        gbytes = (K * N / 2 + scales0.size * 4
+                  + (zeros0.size * 4 if zeros0 is not None else 0)) / 1e9
         gbs = gbytes / dt
         eff = gbs / HBM_FLOOR_GBS
         results[name] = {"us": dt * 1e6, "gbs": gbs, "eff": eff}

@@ -618,6 +618,14 @@ class ChatApp:
             )
 
             return 200, ("html", SIDE_BY_SIDE_HTML)
+        if method == "GET" and path == "/askdoc":
+            # RAG frontend: upload → index → cited answers over the
+            # /v1/askdoc router (reference: the askdoc gradio demos)
+            from intel_extension_for_transformers_tpu.neural_chat.ui import (
+                ASKDOC_APP_HTML,
+            )
+
+            return 200, ("html", ASKDOC_APP_HTML)
         if path == "/v2" and method == "GET":
             return self.handle_kserve_server_meta()
         if path.startswith("/v2/health/") and method == "GET":

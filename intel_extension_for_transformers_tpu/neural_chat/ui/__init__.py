@@ -182,5 +182,9 @@ document.getElementById("f").addEventListener("submit", (e) => {
 from intel_extension_for_transformers_tpu.neural_chat.ui.chat_app import (  # noqa: E402
     CHAT_APP_HTML,
 )
+from intel_extension_for_transformers_tpu.neural_chat.ui.askdoc_app import (  # noqa: E402
+    ASKDOC_APP_HTML,
+)
 
-__all__ = ["CHAT_HTML", "SIDE_BY_SIDE_HTML", "CHAT_APP_HTML"]
+__all__ = ["CHAT_HTML", "SIDE_BY_SIDE_HTML", "CHAT_APP_HTML",
+           "ASKDOC_APP_HTML"]

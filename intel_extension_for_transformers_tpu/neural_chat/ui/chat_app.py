@@ -95,6 +95,7 @@ CHAT_APP_HTML = r"""<!doctype html>
     <label>sample <input type="checkbox" id="sample"></label>
     <textarea id="system" placeholder="system prompt (optional)"></textarea>
     <a href="/compare">side-by-side compare →</a>
+    <a href="/askdoc">askdoc / RAG →</a>
     <div id="stats"></div>
   </div>
 </div>

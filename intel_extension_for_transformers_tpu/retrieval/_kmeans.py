@@ -159,3 +159,85 @@ def kmeans(
     if normalize:
         cent = cent / jnp.maximum(jnp.linalg.norm(cent, axis=1, keepdims=True), 1e-9)
     return cent
+
+
+def kmeans_hierarchical(
+    sample,
+    n_clusters: int,
+    l1: int = 0,
+    iters: int = 8,
+    l2_iters: int = 5,
+    seed: int = 0,
+    normalize: bool = False,
+) -> jax.Array:
+    """Two-level mass-proportional coarse quantizer (the IMI/hierarchical
+    move FAISS-style systems use when flat k-means can't find the modes).
+
+    Flat Lloyd on multi-modal corpora leaves a heavy mass tail no matter how
+    many balance rounds run (measured at 1M clustered rows: p99 list mass
+    5× the spill cap — the recall limiter of bench_ivf_10m round 3). Here:
+    level-1 k-means finds `l1` coarse regions, each region gets a LEVEL-2
+    centroid budget proportional to its member count (largest-remainder
+    rounding, ≥1), and an independent k-means runs inside each region. Mass
+    per final list ≈ n/C by construction, independent of how lumpy the
+    corpus is. Cost: one small k-means + l1 tiny ones (device steps, host
+    loop).
+    """
+    x = jnp.asarray(sample, jnp.float32)
+    n = x.shape[0]
+    C = min(n_clusters, n)
+    l1 = l1 or max(1, C // 8)
+    cent1 = kmeans(x, l1, iters=iters, seed=seed)
+    assign1 = np.asarray(_nearest_centroid(x, cent1))
+    counts = np.bincount(assign1, minlength=l1)
+
+    # largest-remainder mass-proportional budgets, every live region ≥ 1
+    live = counts > 0
+    raw = counts / max(1, counts.sum()) * C
+    budget = np.maximum(np.floor(raw).astype(int), live.astype(int))
+    # trim/pad to exactly C on the largest remainders
+    rem = raw - np.floor(raw)
+    order = np.argsort(-rem)
+    i = 0
+    while budget.sum() < C:
+        b = order[i % l1]
+        if live[b]:
+            budget[b] += 1
+        i += 1
+    order_small = np.argsort(rem)
+    i = 0
+    while budget.sum() > C:
+        b = order_small[i % l1]
+        if live[b] and budget[b] > 1:
+            budget[b] -= 1
+        i += 1
+
+    rng = np.random.default_rng(seed + 1)
+    out = []
+    x_np = np.asarray(x)
+    for c in range(l1):
+        if not live[c]:
+            continue
+        members = np.where(assign1 == c)[0]
+        k = int(budget[c])
+        if k == 1 or len(members) <= k:
+            # degenerate: the region itself (plus member points if the
+            # budget exceeds the member count)
+            if k <= 1:
+                out.append(np.asarray(cent1[c])[None, :])
+            else:
+                picks = rng.choice(members, min(k, len(members)),
+                                   replace=False)
+                out.append(x_np[picks])
+            continue
+        sub = x_np[members]
+        out.append(np.asarray(kmeans(sub, k, iters=l2_iters,
+                                     seed=seed + 2 + c)))
+    cent = jnp.asarray(np.concatenate(out, axis=0))
+    if cent.shape[0] < C:  # dead-region budget shortfall → random fill
+        extra = x_np[rng.choice(n, C - cent.shape[0], replace=False)]
+        cent = jnp.concatenate([cent, jnp.asarray(extra)], axis=0)
+    if normalize:
+        cent = cent / jnp.maximum(
+            jnp.linalg.norm(cent, axis=1, keepdims=True), 1e-9)
+    return cent

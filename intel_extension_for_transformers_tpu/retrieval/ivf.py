@@ -39,8 +39,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from intel_extension_for_transformers_tpu.retrieval._kmeans import (
     kmeans,
+    kmeans_hierarchical,
     _nearest_centroid,
 )
+
+
+def _train_centroids(x, n_lists, iters, seed, **kw):
+    """Route to the hierarchical quantizer when `hierarchical` is passed
+    (l1 count, or True for C//8) — flat Lloyd's heavy mass tail is the
+    recall limiter for capped 10M builds (see kmeans_hierarchical)."""
+    h = kw.pop("hierarchical", 0)
+    if h:
+        l1 = 0 if h is True else int(h)
+        return kmeans_hierarchical(x, n_lists, l1=l1, iters=iters,
+                                   seed=seed,
+                                   normalize=kw.get("normalize", False))
+    return kmeans(x, n_lists, iters=iters, seed=seed, **kw)
 
 __all__ = ["IVFIndex", "ShardedIVFIndex"]
 
@@ -75,19 +89,19 @@ def _plan_insert(vectors, centroids, fill):
     return assign, slot, new_fill
 
 
-_SPILL_ROUNDS = 4
+_SPILL_ROUNDS = 8
 
 
 @jax.jit
 def _plan_insert_capped(vectors, centroids, fill, cap):
-    """Capacity-BOUNDED assignment with a 4-candidate spill cascade.
+    """Capacity-BOUNDED assignment with an 8-candidate spill cascade.
 
     The grow-on-overflow path re-layouts the whole block table (old + new
     storage alive at once — a 2× HBM spike that kills 10M+ builds when
     k-means skew inflates the max list). This variant never grows: a row
-    tries its 4 nearest lists in order and lands in the first one with
+    tries its 8 nearest lists in order and lands in the first one with
     room (multi-probe search finds spilled rows in those lists); rows
-    turned away by all 4 are dropped (returned mask — callers count them).
+    turned away by all 8 are dropped (returned mask — callers count them).
     Same L2 assignment metric as _nearest_centroid. Memory is C·cap by
     construction.
     """
@@ -372,8 +386,8 @@ class IVFIndex:
         x = jnp.asarray(sample, jnp.float32)
         if self.metric == "cosine":
             x = _l2_normalize(x)
-        self.centroids = kmeans(x, self.n_lists, iters=iters, seed=seed,
-                                **kmeans_kw)
+        self.centroids = _train_centroids(x, self.n_lists, iters, seed,
+                                          **kmeans_kw)
         self.n_lists = self.centroids.shape[0]
         self._alloc(self._list_cap)
 
@@ -718,7 +732,9 @@ class ShardedIVFIndex:
             if len(shard_sample) < self.n_lists:
                 shard_sample = x
             cents.append(
-                np.asarray(kmeans(shard_sample, self.n_lists, iters=iters, seed=seed + p, **kmeans_kw))
+                np.asarray(_train_centroids(
+                    jnp.asarray(shard_sample), self.n_lists, iters,
+                    seed + p, **dict(kmeans_kw)))
             )
         C = min(c.shape[0] for c in cents)
         self.n_lists = C

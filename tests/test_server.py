@@ -174,6 +174,21 @@ def test_side_by_side_page(server):
     assert "side-by-side" in body and "/v1/chat/completions" in body
 
 
+def test_askdoc_page(server):
+    """RAG frontend page is served and wired to the askdoc API surface
+    (reference: the askdoc gradio demos under workflows/chatbot)."""
+    conn = HTTPConnection("127.0.0.1", server.port, timeout=60)
+    conn.request("GET", "/askdoc")
+    resp = conn.getresponse()
+    body = resp.read().decode()
+    conn.close()
+    assert resp.status == 200
+    for endpoint in ("/v1/askdoc/create", "/v1/askdoc/append",
+                     "/v1/askdoc/chat", "/v1/askdoc/kbs"):
+        assert endpoint in body
+    assert "Citations" in body
+
+
 def test_apply_stop_streaming_semantics():
     """OpenAI stop sequences: truncate before the first stop, catch stops
     split across delta boundaries, pass through when absent."""
