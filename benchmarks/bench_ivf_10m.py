@@ -48,6 +48,9 @@ def main():
                    "many level-1 regions (-1 = C//8); kills the flat-Lloyd "
                    "mass tail that drop-limits recall at 10M")
     p.add_argument("--train-n", type=int, default=200_000)
+    p.add_argument("--chunk", type=int, default=500_000,
+                   help="device generation chunk; shrink when the packed "
+                   "table leaves less HBM headroom (int8 at 8k lists)")
     p.add_argument("--state-dir", default=None,
                    help="save the built index + oracle there (or load them "
                    "if present) so a flaky search-phase compile does not "
@@ -63,7 +66,8 @@ def main():
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--single", "--dtypes", dt]
             for k in ("n", "dim", "n_lists", "nprobe", "batch", "iters",
-                      "eval_queries", "cap_ratio", "state_dir", "train_n"):
+                      "eval_queries", "cap_ratio", "state_dir", "train_n",
+                      "chunk"):
                 v = getattr(args, k)
                 if v is None:
                     continue
@@ -111,7 +115,7 @@ def main():
     # 500k chunks: generation transients (~3 copies of the chunk inside the
     # jitted sampler) + the packed block table + one live chunk must all fit
     # 16 GB HBM next to each other
-    CHUNK = min(500_000, args.n)
+    CHUNK = min(args.chunk, args.n)
 
     # corpus generated ON the device: 10M×768 f32 host generation costs
     # ~5 min/M rows on this one-core host plus ~100 s/M rows through the

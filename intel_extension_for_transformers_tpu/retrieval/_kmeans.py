@@ -167,6 +167,8 @@ def kmeans_hierarchical(
     l1: int = 0,
     iters: int = 8,
     l2_iters: int = 5,
+    l2_balance_rounds: int = 0,
+    l2_balance_ratio: float = 1.3,
     seed: int = 0,
     normalize: bool = False,
 ) -> jax.Array:
@@ -231,8 +233,13 @@ def kmeans_hierarchical(
                 out.append(x_np[picks])
             continue
         sub = x_np[members]
-        out.append(np.asarray(kmeans(sub, k, iters=l2_iters,
-                                     seed=seed + 2 + c)))
+        # NOTE: l2 balance rounds default to 0 — measured at 1M they
+        # RAISED spill drops (289k vs 143k at rounds=4): per-region splits
+        # overfit the region sample and the freed centroids land badly
+        out.append(np.asarray(kmeans(
+            sub, k, iters=l2_iters, seed=seed + 2 + c,
+            balance_rounds=l2_balance_rounds,
+            balance_ratio=l2_balance_ratio)))
     cent = jnp.asarray(np.concatenate(out, axis=0))
     if cent.shape[0] < C:  # dead-region budget shortfall → random fill
         extra = x_np[rng.choice(n, C - cent.shape[0], replace=False)]

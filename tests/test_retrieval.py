@@ -290,3 +290,47 @@ def test_constrained_kmeans_balances_lists():
     # equal-mass lists cost little recall at equal nprobe
     assert rec >= rec_p - 0.05, (rec, rec_p)
     assert rec >= 0.85, rec
+
+
+def test_hierarchical_kmeans_balances_lumpy_mass():
+    """Two-level mass-proportional quantizer (round-3 VERDICT #2 support):
+    on lumpy multi-modal data, flat Lloyd leaves a heavy list-mass tail
+    that caps IVF recall at 10M scale; the hierarchical quantizer's
+    mass-proportional level-2 budgets bound max/mean skew near 1 and an
+    IVFIndex trained with hierarchical=... keeps recall on clustered
+    data."""
+    from intel_extension_for_transformers_tpu.retrieval import (
+        IVFIndex,
+        clustered_embeddings,
+        exact_topk,
+        recall_at_k,
+    )
+    from intel_extension_for_transformers_tpu.retrieval._kmeans import (
+        kmeans_hierarchical,
+        _nearest_centroid,
+    )
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    # deliberately lumpy: two modes with 3:1 mass
+    x = np.concatenate([
+        rng.normal(0.0, 0.1, (3000, 32)),
+        rng.normal(3.0, 0.1, (1000, 32)),
+    ]).astype(np.float32)
+    cent = kmeans_hierarchical(x, 64, l1=8, iters=5, seed=0)
+    assert cent.shape == (64, 32)
+    a = np.asarray(_nearest_centroid(jnp.asarray(x), cent))
+    counts = np.bincount(a, minlength=64)
+    assert counts.max() / counts.mean() < 2.0, counts.max() / counts.mean()
+    assert (counts == 0).sum() == 0
+
+    # end-to-end through IVFIndex.train(**kmeans_kw) routing
+    docs, queries = clustered_embeddings(6000, dim=64, n_queries=32,
+                                         n_topics=8, seed=5)
+    idx = IVFIndex(dim=64, n_lists=64, dtype="int8", list_cap=256)
+    idx.train(docs[:3000], iters=5, hierarchical=8)
+    idx.add(docs)
+    oracle = exact_topk(docs, queries, 10)
+    _, ids = idx.search(queries, k=10, nprobe=16)
+    rec = recall_at_k(np.asarray(ids), oracle)
+    assert float(rec) > 0.85, float(rec)
