@@ -46,7 +46,7 @@ def gptq_quantize(
     w: jax.Array, x_cal: jax.Array, config: GPTQConfig
 ) -> QuantizedTensor:
     """Quantize (K, N) weight with Hessian feedback from x_cal (S, K)."""
-    if config.weight_dtype not in ("int4", "int8"):
+    if config.weight_dtype not in ("int4", "int8", "int3", "int2"):
         # codebook dtypes: fall back to RTN packing after GPTQ would need
         # nearest-codebook rounding inside the loop; keep v1 scope tight.
         return quantize_groupwise(
@@ -58,10 +58,16 @@ def gptq_quantize(
 
     K, N = w.shape
     gs = config.group_size if config.group_size > 0 else K
-    bits = 8 if config.weight_dtype == "int8" else 4
-    qmax = 127.0 if bits == 8 else (7.0 if config.scheme == "sym" else 15.0)
-    if config.scheme == "asym" and bits == 4:
-        qmax = 15.0
+    bits = {"int8": 8, "int4": 4, "int3": 3, "int2": 2}[config.weight_dtype]
+    # qmax follows packing.quantize_groupwise's level grids exactly, so the
+    # packed tensor dequantizes identically to the RTN path's layout
+    # (sub-4-bit rides the int4 nibble layout — tests/test_eval_gate.py)
+    if config.scheme == "sym":
+        qmax = {8: 127.0, 4: 7.0, 3: 3.0, 2: 1.0}[bits]
+    else:
+        qmax = {8: 255.0, 4: 15.0, 3: 7.0, 2: 3.0}[bits]
+        if bits == 8:
+            qmax = 127.0  # keep the historical int8-asym grid of this file
 
     w = w.astype(jnp.float32)
     x = x_cal.astype(jnp.float32).reshape(-1, K)
@@ -131,7 +137,7 @@ def gptq_quantize(
         0, G, group_body, (w, qinit, sinit, zinit)
     )
 
-    if bits == 4:
+    if bits in (4, 3, 2):  # sub-4-bit shares the int4 nibble layout
         if config.scheme == "sym":
             data = pack_int4(qvals.astype(jnp.int8))
         else:

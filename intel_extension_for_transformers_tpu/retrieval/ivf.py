@@ -449,11 +449,25 @@ class IVFIndex:
             self._grow_lists(l_pad)
 
     def add(self, vectors) -> np.ndarray:
+        """Insert rows. Internally sub-batches so the (M, C) assignment
+        distance matrix stays ≤ ~1 GB — at 10M×8192-list scale a single
+        100k-row add otherwise materializes 3.3 GB of f32 distances next
+        to the ~11 GB packed table and OOMs the chip."""
         if self.centroids is None:
             raise ValueError("IVFIndex.train must be called before add")
         v = jnp.asarray(vectors, jnp.float32)
         if v.ndim != 2 or v.shape[1] != self.dim:
             raise ValueError(f"expected (M, {self.dim}) vectors, got {v.shape}")
+        m_slice = max(1024, int(256e6 // max(1, self.n_lists)))
+        if v.shape[0] > m_slice:
+            ids = [
+                self._add_batch(v[i:i + m_slice])
+                for i in range(0, v.shape[0], m_slice)
+            ]
+            return np.concatenate(ids)
+        return self._add_batch(v)
+
+    def _add_batch(self, v) -> np.ndarray:
         if self.metric == "cosine":
             v = _l2_normalize(v)
         if self.spill:

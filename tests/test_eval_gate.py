@@ -191,3 +191,40 @@ def test_int2_int3_packing_roundtrip():
             # int3 levels stay within ±4, int2 within ±2 after dequant scale
             levels = np.unique(np.asarray(qt.data))
             assert levels.size > 1
+
+
+def test_gptq_sub4bit_beats_rtn_on_activation_reconstruction():
+    """GPTQ now quantizes the int3/int2 rungs natively (previously a silent
+    RTN fallback — the AutoRoundConfig bits=2..8 low end, reference:
+    utils/config.py:865). The GPTQ signature: HIGHER weight error but LOWER
+    activation reconstruction error than RTN at the same rung, and the
+    packed tensor dequantizes through the shared int4 nibble layout."""
+    from intel_extension_for_transformers_tpu.quantization.config import (
+        GPTQConfig,
+    )
+    from intel_extension_for_transformers_tpu.quantization.gptq import (
+        gptq_quantize,
+    )
+    from intel_extension_for_transformers_tpu.ops.packing import (
+        dequantize,
+        quantize_groupwise,
+    )
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    w = jax.random.normal(k1, (128, 64))
+    x = jax.random.normal(k2, (256, 128))
+    ref = x @ w
+    for dt in ("int3", "int2"):
+        for scheme in ("sym", "asym"):
+            qt = gptq_quantize(
+                w, x, GPTQConfig(weight_dtype=dt, group_size=32,
+                                 scheme=scheme))
+            assert qt.weight_dtype == dt and qt.data.shape[0] == 64  # packed
+            act_gptq = float(jnp.linalg.norm(x @ dequantize(qt) - ref)
+                             / jnp.linalg.norm(ref))
+            qr = quantize_groupwise(w, dt, scheme, 32)
+            act_rtn = float(jnp.linalg.norm(x @ dequantize(qr) - ref)
+                            / jnp.linalg.norm(ref))
+            # measured: int3 sym 0.196 vs 0.226, asym 0.150 vs 0.170;
+            # int2 sym 0.627 vs 0.659, asym 0.356 vs 0.401
+            assert act_gptq < act_rtn, (dt, scheme, act_gptq, act_rtn)
