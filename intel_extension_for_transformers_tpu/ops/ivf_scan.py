@@ -58,26 +58,28 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def choose_blocking(list_cap: int, l_blk_max: int = 768) -> tuple[int, int]:
+def choose_blocking(
+    list_cap: int, l_blk_max: int = 768, overhead_rows: int = 768
+) -> tuple[int, int]:
     """→ (l_blk, l_pad): lane-aligned sub-block size and padded list cap.
 
     l_blk must be a multiple of 128 (lane alignment for the row-ids block
-    and the score tile); l_pad = n_sub · l_blk minimizes padding waste
-    subject to l_blk ≤ l_blk_max. For cap 3663 this picks l_blk 768,
-    l_pad 3840 (4.8% pad — padded rows carry row_id -1 and are masked)."""
+    and the score tile). The cost model charges each grid step its DMA
+    rows (l_pad total) PLUS `overhead_rows` of fixed step cost — measured
+    on-chip: a 2048-step batch at l_blk=768 runs ~4.4 µs/step of which
+    ~2 µs is DMA, i.e. per-step overhead ≈ one 768-row block. Minimizing
+    padding alone picked 13×128 for cap 1587 (26k steps/batch — 4× slower
+    than 3×640 despite 13% less padding)."""
     best = None
     for n_sub in range(1, 256):
         l_blk = _round_up(-(-list_cap // n_sub), 128)
         if l_blk > l_blk_max:
             continue
         l_pad = n_sub * l_blk
-        waste = l_pad - list_cap
-        # prefer fewer, larger blocks at equal waste (per-step overhead)
-        key = (waste, n_sub)
+        cost = l_pad + n_sub * overhead_rows
+        key = (cost, n_sub)
         if best is None or key < best[0]:
             best = (key, l_blk, l_pad)
-        if waste == 0:
-            break
     if best is None:  # cap larger than 256 blocks of l_blk_max
         l_blk = l_blk_max
         return l_blk, _round_up(list_cap, l_blk)
