@@ -200,12 +200,16 @@ def main():
     build_s = time.time() - t0
 
     if state:
+        # NOTE: at 10M int8 the save is a ~12 GB device→host readback —
+        # measured 45+ min through this machine's relay with nothing
+        # written; only use --state-dir on directly-attached chips
         os.makedirs(args.state_dir, exist_ok=True)
+        print(f"[{dt}] saving index+oracle to {state} (device→host "
+              "readback; slow through a relay)", file=sys.stderr, flush=True)
         idx.save(state)
         np.savez(state + ".oracle.npz", best_i=best_i, build_s=build_s,
                  dropped=idx.dropped)
-        print(f"[{dt}] saved index+oracle to {state}", file=sys.stderr,
-              flush=True)
+        print(f"[{dt}] saved", file=sys.stderr, flush=True)
     run_search_phase(args, dt, idx, qd, queries, best_i, build_s)
 
 
@@ -222,23 +226,45 @@ def run_search_phase(args, dt, idx, qd, queries, best_i, build_s):
     )
 
     NQ = args.eval_queries
+    print(f"[{dt}] search phase: kernel layout + recall eval",
+          file=sys.stderr, flush=True)
     idx._ensure_kernel_layout()
     C, L = idx.n_lists, idx._list_cap
     fills = np.asarray((idx._row_ids.reshape(C, L) >= 0).sum(axis=1))
     print(f"[{dt}] list fill: mean {fills.mean():.0f} max {fills.max()} "
           f"full {(fills >= L).sum()}/{C} dropped {idx.dropped:,}",
           file=sys.stderr, flush=True)
-    storage3 = idx._storage.reshape(C, L, -1)
-    scales3 = idx._scales.reshape(C, L, -1)
-    rids2 = idx._row_ids.reshape(C, L)
+    # DONATING reshapes: an eager jnp reshape dispatches a copy — 10.3 GB
+    # of table next to itself OOM'd the chip here. Donation lets XLA alias
+    # the same-size bitcast, so the 3D views cost zero HBM; the flat
+    # handles on idx are dropped (search phase owns the arrays from here).
+    W = idx._storage.shape[-1]
+    G = idx._scales.shape[-1]
+    storage3 = jax.jit(lambda x: x.reshape(C, L, W),
+                       donate_argnums=0)(idx._storage)
+    idx._storage = None
+    scales3 = jax.jit(lambda x: x.reshape(C, L, G),
+                      donate_argnums=0)(idx._scales)
+    idx._scales = None
+    rids2 = idx._row_ids.reshape(C, L)  # 50 MB — a copy is fine
+    cent = idx.centroids
+
+    def kernel_search(qb, nprobe):
+        qb = jnp.asarray(qb, jnp.float32)
+        csims = qb @ cent.T.astype(jnp.float32)
+        _, probes = jax.lax.top_k(csims, nprobe)
+        return ivf_scan_topk(
+            qb, cent, storage3, scales3, rids2, probes,
+            k=10, bits=idx._bits, group_size=idx.group_size,
+            l_blk=idx._l_blk,
+        )
 
     q = jnp.asarray(queries[: args.batch], jnp.float32)
     points = {}
     for nprobe in args.nprobe:
         hits = 0
         for j in range(0, NQ, args.batch):
-            _, ids = idx.search(qd[j:j + args.batch], k=10, nprobe=nprobe,
-                                use_kernel=True)
+            _, ids = kernel_search(qd[j:j + args.batch], nprobe)
             ids = np.asarray(ids)
             for r, row in enumerate(ids):
                 hits += len(set(row.tolist()) & set(best_i[j + r].tolist()))
@@ -260,7 +286,7 @@ def run_search_phase(args, dt, idx, qd, queries, best_i, build_s):
 
             return jax.lax.fori_loop(0, args.iters, body, jnp.int32(0))
 
-        operands = (q, idx.centroids, storage3, scales3, rids2)
+        operands = (q, cent, storage3, scales3, rids2)
         int(loop(*operands))
         t0 = time.perf_counter()
         int(loop(*operands))
@@ -272,10 +298,13 @@ def run_search_phase(args, dt, idx, qd, queries, best_i, build_s):
         print(f"[{dt}] nprobe {nprobe}: {points[f'nprobe{nprobe}']}",
               file=sys.stderr, flush=True)
 
+    mem = (storage3.size * storage3.dtype.itemsize
+           + scales3.size * scales3.dtype.itemsize
+           + rids2.size * 4 + cent.size * 4)
     top = points[f"nprobe{args.nprobe[0]}"]
     detail = {dt: {
         **top,
-        "memory_gb": round(idx.memory_bytes() / 1e9, 2),
+        "memory_gb": round(mem / 1e9, 2),
         "build_s": round(build_s, 1),
         "list_cap": idx._list_cap,
         "dropped": idx.dropped,

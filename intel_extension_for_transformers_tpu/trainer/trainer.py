@@ -454,7 +454,8 @@ class NLPTrainer:
         from intel_extension_for_transformers_tpu.quantization import quantize_model
 
         def score(params):
-            res = evaluate(params, self.model_config, tokenizer, eval_tasks)
+            res = evaluate(params, self.model_config, tokenizer, eval_tasks,
+                           batch_size=32)
             # acc where a task reports it; perplexity-only tasks contribute
             # exp(-nll) = 1/ppl (mean per-token probability) — an acc-like
             # quantity in (0, 1) whose RELATIVE drop mirrors a ppl rise, so
