@@ -28,7 +28,8 @@ import numpy as np
 from bench_gptj_int4 import build_params  # noqa: E402 — shared builder
 
 
-def run_engine(params, config, *, slots, horizon, tokens, prompt_len):
+def run_engine(params, config, *, slots, horizon, tokens, prompt_len,
+               max_admissions=2):
     from intel_extension_for_transformers_tpu.models.engine import (
         DecodeEngine,
         EngineRequest,
@@ -38,6 +39,7 @@ def run_engine(params, config, *, slots, horizon, tokens, prompt_len):
         params, config,
         max_slots=slots, max_len=prompt_len + tokens + max(8, horizon),
         prefill_chunk=64, decode_horizon=horizon,
+        max_admissions=max_admissions,
     ).start()
     try:
         # warmup: compiles prefill, first-token, and the decode program
@@ -79,6 +81,10 @@ def main():
     p.add_argument("--prompt-len", type=int, default=32)
     p.add_argument("--skip-h1", action="store_true",
                    help="skip the horizon=1 comparison run")
+    p.add_argument("--max-admissions", type=int, default=2,
+                   help="concurrent in-flight admissions; coarse horizons "
+                   "want it ≈ slots so a wave of arrivals is admitted "
+                   "within one burst boundary")
     args = p.parse_args()
 
     import jax
@@ -108,7 +114,8 @@ def main():
 
     detail = {}
     kw = dict(slots=args.slots, tokens=args.tokens,
-              prompt_len=args.prompt_len)
+              prompt_len=args.prompt_len,
+              max_admissions=args.max_admissions)
     if not args.skip_h1:
         detail["h1"] = run_engine(params, config, horizon=1, **kw)
         print(f"h1: {detail['h1']}", file=sys.stderr, flush=True)
