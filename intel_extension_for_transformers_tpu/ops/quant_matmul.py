@@ -111,56 +111,83 @@ def _woq_kernel_4bit(
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    packed = w_ref[:]  # (TK, TN) packed bytes, int8
     signed = scheme == "sym" and codebook is None
-    lo, hi = _decode_nibbles(packed, signed=signed)
 
     tk = w_ref.shape[0]
     tn = w_ref.shape[1]
     n_groups = tk // group_size
+    # Large whole-K tiles (e.g. Falcon down-proj: TK=9088, TN=256 — no legal
+    # multi-step TK since 9088 = 128·71) must NOT decode in one shot: the two
+    # int32 nibble planes alone are 8·TK·TN bytes (18.6 MB there), far past
+    # VMEM, so Mosaic spills and the DMA pipeline stalls (measured 210 GB/s
+    # vs 330 for the same bytes in falcon_up-sized pieces). Decode the tile
+    # in STATIC chunks of whole groups instead; chunks only engage on the
+    # single-K-step path, so multi-step dynamic scale offsets stay 8-aligned.
+    max_chunk_elems = 320 * 1024
+    if num_k_steps == 1 and tk * tn > max_chunk_elems:
+        # chunk size in groups: largest multiple of 8 groups that fits the
+        # element budget (8-aligned sublane counts for the scale rows); the
+        # remainder rides in a smaller tail chunk
+        gpc = max(8, (max_chunk_elems // (tn * group_size)) // 8 * 8)
+        gpc = min(gpc, n_groups)
+    else:
+        gpc = n_groups
+    chunk_groups = [gpc] * (n_groups // gpc)
+    if n_groups % gpc:
+        chunk_groups.append(n_groups % gpc)
+
     acc = acc_ref[:]
-    # Fold the per-group scales (and zero points) into the dequantized tile
-    # on the VPU, then ONE (TM, TK)·(TK, TN) MXU dot per half — per-group
-    # mini-dots would leave the MXU pipeline mostly idle at decode sizes.
-    for half, (plane, x_ref) in enumerate(((lo, x_lo_ref), (hi, x_hi_ref))):
-        if codebook is not None:
-            qvals = _codebook_lookup(plane, codebook).astype(compute_dtype)
-        else:
-            qvals = plane.astype(compute_dtype)
-        if num_k_steps == 1:
-            # k == 0: STATIC slice — works at any group alignment
-            b0 = half * groups_per_half
-            srows = s_ref[b0 : b0 + n_groups, :].astype(compute_dtype)
-            zrows = (
-                z_ref[b0 : b0 + n_groups, :].astype(compute_dtype)
-                if scheme == "asym"
-                else None
+    g0 = 0
+    for cg in chunk_groups:
+        gpc, rows = cg, cg * group_size
+        r0 = g0 * group_size
+        lo, hi = _decode_nibbles(w_ref[r0 : r0 + rows, :], signed=signed)
+        # Fold the per-group scales (and zero points) into the dequantized
+        # tile on the VPU, then ONE (TM, rows)·(rows, TN) MXU dot per half —
+        # per-group mini-dots would leave the MXU pipeline mostly idle at
+        # decode sizes.
+        for half, (plane, x_ref) in enumerate(((lo, x_lo_ref), (hi, x_hi_ref))):
+            if codebook is not None:
+                qvals = _codebook_lookup(plane, codebook).astype(compute_dtype)
+            else:
+                qvals = plane.astype(compute_dtype)
+            if num_k_steps == 1:
+                # k == 0: STATIC slice — works at any group alignment
+                b0 = half * groups_per_half + g0
+                srows = s_ref[b0 : b0 + gpc, :].astype(compute_dtype)
+                zrows = (
+                    z_ref[b0 : b0 + gpc, :].astype(compute_dtype)
+                    if scheme == "asym"
+                    else None
+                )
+            else:
+                # dynamic offsets: per-step group counts are 8-aligned by
+                # construction (_pick_tiles), so Mosaic can prove alignment
+                base = half * groups_per_half + k * n_groups
+                srows = s_ref[pl.ds(base, n_groups), :].astype(compute_dtype)
+                zrows = (
+                    z_ref[pl.ds(base, n_groups), :].astype(compute_dtype)
+                    if scheme == "asym"
+                    else None
+                )
+            q3 = qvals.reshape(gpc, group_size, tn)
+            if scheme == "asym":
+                w_deq = ((q3 - zrows[:, None, :]) * srows[:, None, :]).reshape(
+                    rows, tn
+                )
+            else:
+                w_deq = (q3 * srows[:, None, :]).reshape(rows, tn)
+            acc = acc + jax.lax.dot(
+                x_ref[:, r0 : r0 + rows].astype(compute_dtype),
+                w_deq,
+                precision=(
+                    jax.lax.Precision.HIGHEST
+                    if compute_dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT
+                ),
+                preferred_element_type=jnp.float32,
             )
-        else:
-            # dynamic offsets: per-step group counts are 8-aligned by
-            # construction (_pick_tiles), so Mosaic can prove alignment
-            base = half * groups_per_half + k * n_groups
-            srows = s_ref[pl.ds(base, n_groups), :].astype(compute_dtype)
-            zrows = (
-                z_ref[pl.ds(base, n_groups), :].astype(compute_dtype)
-                if scheme == "asym"
-                else None
-            )
-        q3 = qvals.reshape(n_groups, group_size, tn)
-        if scheme == "asym":
-            w_deq = ((q3 - zrows[:, None, :]) * srows[:, None, :]).reshape(tk, tn)
-        else:
-            w_deq = (q3 * srows[:, None, :]).reshape(tk, tn)
-        acc = acc + jax.lax.dot(
-            x_ref[:].astype(compute_dtype),
-            w_deq,
-            precision=(
-                jax.lax.Precision.HIGHEST
-                if compute_dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT
-            ),
-            preferred_element_type=jnp.float32,
-        )
+        g0 += cg
     acc_ref[:] = acc
 
     @pl.when(k == num_k_steps - 1)
