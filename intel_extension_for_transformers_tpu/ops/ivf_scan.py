@@ -86,6 +86,40 @@ def choose_blocking(
     return best[1], best[2]
 
 
+def _compact_probes(probes, csims, B):
+    """Sort the flattened probes by list id, then COMPACT: unique ids first
+    (still sorted — consecutive-duplicate DMA skip intact), duplicate
+    slots moved to the tail and overwritten with ul[0], so the whole
+    tail names ONE block (a single fetch) and carries no membership —
+    the kernel's member gate turns those steps into grid no-ops. On
+    clustered query batches the duplicate fraction of B·nprobe is large,
+    so this is the difference between paying U steps and paying
+    ~unique(U) steps of DMA+compute.
+
+    → ul (U,) int32, member (U, B, 1) int32, base (U, B, 1) f32,
+      live (U,) int32 (1 on unique slots, 0 on the dead tail)."""
+    flat = probes.reshape(-1).astype(jnp.int32)  # (U,) U = B·nprobe
+    srt = jnp.sort(flat)
+    first_occ = jnp.concatenate(
+        [jnp.ones((1,), bool), srt[1:] != srt[:-1]]
+    )  # (U,)
+    order = jnp.argsort(~first_occ, stable=True)  # uniques first, in order
+    ul = jnp.take(srt, order)
+    n_uniq = jnp.sum(first_occ)
+    upos = jnp.arange(ul.shape[0])
+    live = upos < n_uniq
+    ul = jnp.where(live, ul, ul[0])
+    # member[u, b]: query b probed list ul[u] (unique slots only)
+    member = (
+        (probes[None, :, :] == ul[:, None, None]).any(-1)
+        & live[:, None]
+    ).astype(jnp.int32)[:, :, None]  # (U, B, 1)
+    base = jnp.take_along_axis(
+        csims, jnp.broadcast_to(ul[None, :], (B, ul.shape[0])), axis=1
+    ).T[:, :, None]  # (U, B, 1) f32
+    return ul, member, base, live.astype(jnp.int32)
+
+
 def _ivf_scan_kernel(
     # scalar prefetch
     ul_ref,  # (U,) int32 — sorted probed list ids (duplicates allowed)
@@ -141,10 +175,15 @@ def _ivf_scan_kernel(
         out_i_ref[:] = acc_i[:]
 
 
-def _scan_work(
-    ul_ref, q_ref, packed_ref, scales_ref, rid_ref, member_ref, base_ref,
-    acc_s, acc_i, *, l, k: int, bits: int, group_size: int,
+def _tile_scores(
+    q_ref, packed_ref, scales_ref, *, bits: int, group_size: int,
+    code_mult: int = 1, code_offset: int = 0,
 ):
+    """Decode one (L_blk, W) packed slab in VMEM and score against all B
+    queries: → (B, L_blk) f32. `code_mult`/`code_offset` rescale the raw
+    codes before the group-scale multiply — the refine tier's hi-nibble
+    plane decodes as (16·hi + 8)·s, the centered int4 view of its int8
+    code (ivf.py `_encode_residual_split`)."""
     x = packed_ref[0]  # (L_blk, W) int8
     sc = scales_ref[0]  # (L_blk, G) bf16
     if bits == 4:
@@ -162,6 +201,8 @@ def _scan_work(
     else:
         ints = x.astype(jnp.int32)  # (L_blk, D) natural order
         eg = group_size
+    if code_mult != 1 or code_offset != 0:
+        ints = ints * code_mult + code_offset  # int32, exact in bf16 below
     # broadcast group scales to lanes with one tiny MXU matmul against an
     # iota-built 0/1 selection matrix — Mosaic lowers this natively where
     # an element-repeat reshape does not. Exact: one nonzero per column.
@@ -180,10 +221,19 @@ def _scan_work(
         scb = scb_half
     resid = ints.astype(jnp.bfloat16) * scb  # (L_blk, D) bf16, as XLA path
 
-    s = jax.lax.dot_general(
+    return jax.lax.dot_general(
         q_ref[:], resid, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (B, L_blk)
+
+
+def _scan_work(
+    ul_ref, q_ref, packed_ref, scales_ref, rid_ref, member_ref, base_ref,
+    acc_s, acc_i, *, l, k: int, bits: int, group_size: int,
+):
+    s = _tile_scores(
+        q_ref, packed_ref, scales_ref, bits=bits, group_size=group_size
+    )
     # whole-list row ids ride in one (n_sub, L_blk) block (tiny next to
     # packed); pick this sub-block's row dynamically — Mosaic block rules
     # disallow a (1, L_blk) block over the (C, L_pad) array directly
@@ -267,33 +317,7 @@ def ivf_scan_topk(
 
     qf = q.astype(jnp.float32)
     csims = qf @ centroids.T.astype(jnp.float32)  # (B, C)
-
-    # sort the flattened probes by list id, then COMPACT: unique ids first
-    # (still sorted — consecutive-duplicate DMA skip intact), duplicate
-    # slots moved to the tail and overwritten with ul[0], so the whole
-    # tail names ONE block (a single fetch) and carries no membership —
-    # the kernel's member gate turns those steps into grid no-ops. On
-    # clustered query batches the duplicate fraction of B·nprobe is large,
-    # so this is the difference between paying U steps and paying
-    # ~unique(U) steps of DMA+compute.
-    flat = probes.reshape(-1).astype(jnp.int32)  # (U,) U = B·nprobe
-    srt = jnp.sort(flat)
-    first_occ = jnp.concatenate(
-        [jnp.ones((1,), bool), srt[1:] != srt[:-1]]
-    )  # (U,)
-    order = jnp.argsort(~first_occ, stable=True)  # uniques first, in order
-    ul = jnp.take(srt, order)
-    n_uniq = jnp.sum(first_occ)
-    upos = jnp.arange(ul.shape[0])
-    ul = jnp.where(upos < n_uniq, ul, ul[0])
-    # member[u, b]: query b probed list ul[u] (unique slots only)
-    member = (
-        (probes[None, :, :] == ul[:, None, None]).any(-1)
-        & (upos < n_uniq)[:, None]
-    ).astype(jnp.int32)[:, :, None]  # (U, B, 1)
-    base = jnp.take_along_axis(
-        csims, jnp.broadcast_to(ul[None, :], (B, ul.shape[0])), axis=1
-    ).T[:, :, None]  # (U, B, 1) f32
+    ul, member, base, live = _compact_probes(probes, csims, B)
 
     if bits == 4:
         perm = np.concatenate(
@@ -341,3 +365,210 @@ def ivf_scan_topk(
     )(ul, qk, packed, scales, row_ids.reshape(C, n_sub, l_blk), member,
       base)
     return out_s[:B0], out_i[:B0]
+
+
+# ===================== per-list candidate scan (refine tier) =====================
+
+
+def _ivf_candidates_kernel(
+    # scalar prefetch
+    ul_ref,  # (U,) int32 — sorted probed list ids (duplicates compacted)
+    live_ref,  # (U,) int32 — 1 on unique slots, 0 on the dead tail
+    # inputs
+    q_ref,  # (B, D) bf16 (int4: column-permuted, see ivf_scan_topk)
+    packed_ref,  # (1, L_blk, W) int8
+    scales_ref,  # (1, L_blk, G) bf16
+    rid_ref,  # (1, n_sub, L_blk) int32
+    member_ref,  # (1, B, 1) int32
+    # outputs
+    out_s_ref,  # (1, B, T) f32 — per-list top-T residual-dot scores
+    out_p_ref,  # (1, B, T) int32 — flat storage POSITIONS (-1 = none)
+    # scratch
+    acc_s,  # (B, T) f32
+    acc_p,  # (B, T) int32
+    *,
+    t: int,
+    bits: int,
+    group_size: int,
+    l_blk: int,
+    n_sub: int,
+    code_mult: int,
+    code_offset: int,
+):
+    """Per-LIST top-T: grid is (U, n_sub) with u OUTER so one list's
+    sub-blocks are consecutive and a per-u accumulator in scratch spans
+    exactly its n_sub steps. Unlike the global-top-k kernel, the merge
+    tracks flat storage POSITIONS, which is what the rescore tier gathers
+    (exact rows re-read once from HBM — retrieval/ivf.py `_rescore_refine`).
+    Scores here EXCLUDE the q·centroid base: it is constant within a list,
+    so per-list ranking is unchanged and the wrapper re-adds it."""
+    u = pl.program_id(0)
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _init():
+        acc_s[:] = jnp.full_like(acc_s, -jnp.inf)
+        acc_p[:] = jnp.full_like(acc_p, -1)
+
+    member0 = member_ref[0]  # (B, 1)
+
+    @pl.when(jnp.sum(member0) > 0)
+    def _work():
+        s = _tile_scores(
+            q_ref, packed_ref, scales_ref, bits=bits, group_size=group_size,
+            code_mult=code_mult, code_offset=code_offset,
+        )  # (B, L_blk)
+        rid = rid_ref[0, l, :]  # (L_blk,)
+        valid = (rid >= 0)[None, :] & (member0 > 0)
+        s = jnp.where(valid, s, -jnp.inf)
+        pos0 = ul_ref[u] * (n_sub * l_blk) + l * l_blk
+        pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+
+        s_all = jnp.concatenate([s, acc_s[:]], axis=1)  # (B, L_blk+T)
+        i_all = jnp.concatenate([pos, acc_p[:]], axis=1)
+        cols_s, cols_p = [], []
+        int_min = jnp.int32(-(2**31) + 1)
+        for _ in range(t):
+            m = jnp.max(s_all, axis=1, keepdims=True)  # (B, 1)
+            sel = (s_all == m) & (s_all > -jnp.inf)
+            a = jnp.max(
+                jnp.where(sel, i_all, int_min), axis=1, keepdims=True
+            )
+            cols_s.append(m[:, 0])
+            cols_p.append(jnp.where(m[:, 0] > -jnp.inf, a[:, 0], -1))
+            s_all = jnp.where(sel & (i_all == a), -jnp.inf, s_all)
+        acc_s[:] = jnp.stack(cols_s, axis=1)
+        acc_p[:] = jnp.stack(cols_p, axis=1)
+
+    @pl.when(l == n_sub - 1)
+    def _flush():
+        out_s_ref[0] = acc_s[:]
+        out_p_ref[0] = acc_p[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "t", "bits", "group_size", "l_blk", "code_mult", "code_offset",
+        "interpret",
+    ),
+)
+def ivf_scan_candidates(
+    q: jax.Array,  # (B, D) f32/bf16 queries (natural column order)
+    centroids: jax.Array,  # (C, D) f32
+    packed: jax.Array,  # (C, L_pad, W) int8
+    scales: jax.Array,  # (C, L_pad, G) bf16
+    row_ids: jax.Array,  # (C, L_pad) int32, -1 = empty
+    probes: jax.Array,  # (B, nprobe) int32
+    *,
+    t: int,
+    bits: int,
+    group_size: int,
+    l_blk: int,
+    code_mult: int = 1,
+    code_offset: int = 0,
+    interpret: Optional[bool] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """→ (scores (B, nprobe·t) f32, pos (B, nprobe·t) int32).
+
+    For each (query, probed list) pair, the scan's top-t candidates BY
+    POSITION in the flat (C·L_pad, ·) storage (-1 where the list holds
+    fewer than t rows). Scores include the q·centroid base (added here, it
+    cannot change per-list ranking). This is the first tier of the
+    two-tier refine search: the caller gathers the candidate rows once
+    and re-scores them exactly (reference parity: chroma stores exact
+    vectors and always scores them —
+    /root/reference/intel_extension_for_transformers/langchain/
+    langchain_community/vectorstores/chroma.py:50)."""
+    if interpret is None:
+        from intel_extension_for_transformers_tpu.utils.device import (
+            use_pallas_interpret,
+        )
+
+        interpret = use_pallas_interpret()
+
+    B0, D = q.shape
+    B = _round_up(B0, 8)
+    if B != B0:
+        q = jnp.pad(q, ((0, B - B0), (0, 0)))
+        probes = jnp.pad(probes, ((0, B - B0), (0, 0)))
+    C, L_pad, W = packed.shape
+    G = scales.shape[-1]
+    nprobe = probes.shape[1]
+    assert L_pad % l_blk == 0, (L_pad, l_blk)
+    n_sub = L_pad // l_blk
+
+    qf = q.astype(jnp.float32)
+    csims = qf @ centroids.T.astype(jnp.float32)  # (B, C)
+    ul, member, _base, live = _compact_probes(probes, csims, B)
+
+    if bits == 4:
+        perm = np.concatenate([np.arange(0, D, 2), np.arange(1, D, 2)])
+        qk = qf[:, perm].astype(jnp.bfloat16)
+    else:
+        qk = qf.astype(jnp.bfloat16)
+
+    U = ul.shape[0]
+    # u OUTER (accumulator locality); dead tail slots gate their l to 0 so
+    # the whole tail names ONE (ul[0], 0) block — a single fetch — and
+    # their member gate makes the steps compute no-ops.
+    grid = (U, n_sub)
+
+    kernel = functools.partial(
+        _ivf_candidates_kernel, t=t, bits=bits, group_size=group_size,
+        l_blk=l_blk, n_sub=n_sub, code_mult=code_mult,
+        code_offset=code_offset,
+    )
+    out_s, out_p = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((B, D), lambda u, l, ul, lv: (0, 0)),
+                pl.BlockSpec(
+                    (1, l_blk, W),
+                    lambda u, l, ul, lv: (ul[u], jnp.where(lv[u] > 0, l, 0), 0),
+                ),
+                pl.BlockSpec(
+                    (1, l_blk, G),
+                    lambda u, l, ul, lv: (ul[u], jnp.where(lv[u] > 0, l, 0), 0),
+                ),
+                pl.BlockSpec(
+                    (1, n_sub, l_blk), lambda u, l, ul, lv: (ul[u], 0, 0)
+                ),
+                pl.BlockSpec((1, B, 1), lambda u, l, ul, lv: (u, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, B, t), lambda u, l, ul, lv: (u, 0, 0)),
+                pl.BlockSpec((1, B, t), lambda u, l, ul, lv: (u, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((B, t), jnp.float32),
+                pltpu.VMEM((B, t), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((U, B, t), jnp.float32),
+            jax.ShapeDtypeStruct((U, B, t), jnp.int32),
+        ],
+        interpret=interpret,
+    )(ul, live, qk, packed, scales, row_ids.reshape(C, n_sub, l_blk),
+      member)
+
+    # per-query slot lookup: probes[b, j] → its unique slot u in ul
+    eq = (probes[:, :, None] == ul[None, None, :]) & (live[None, None, :] > 0)
+    u_slot = jnp.argmax(eq, axis=2)  # (B, nprobe)
+    s_q = jnp.take_along_axis(
+        out_s.transpose(1, 0, 2), u_slot[:, :, None], axis=1
+    )  # (B, nprobe, t)
+    p_q = jnp.take_along_axis(
+        out_p.transpose(1, 0, 2), u_slot[:, :, None], axis=1
+    )
+    base_q = jnp.take_along_axis(csims, probes, axis=1)  # (B, nprobe)
+    s_q = jnp.where(p_q >= 0, s_q + base_q[:, :, None], -jnp.inf)
+    R = nprobe * t
+    return (
+        s_q.reshape(B, R)[:B0],
+        p_q.reshape(B, R)[:B0],
+    )

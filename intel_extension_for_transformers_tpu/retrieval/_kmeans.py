@@ -189,6 +189,9 @@ def kmeans_hierarchical(
     n = x.shape[0]
     C = min(n_clusters, n)
     l1 = l1 or max(1, C // 8)
+    # Clamp: with l1 > C every live region's floor budget of 1 already sums
+    # past C and the trim loop below could never terminate.
+    l1 = min(l1, C)
     cent1 = kmeans(x, l1, iters=iters, seed=seed)
     assign1 = np.asarray(_nearest_centroid(x, cent1))
     counts = np.bincount(assign1, minlength=l1)
@@ -213,6 +216,8 @@ def kmeans_hierarchical(
         if live[b] and budget[b] > 1:
             budget[b] -= 1
         i += 1
+        if i >= 2 * l1 * max(1, int(budget.sum() - C)):
+            break  # every live budget at 1 — nothing left to trim
 
     rng = np.random.default_rng(seed + 1)
     out = []

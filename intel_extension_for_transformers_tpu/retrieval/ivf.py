@@ -112,12 +112,13 @@ def _plan_insert_capped(vectors, centroids, fill, cap):
         - 2.0 * vectors @ centroids.T
         + jnp.sum(centroids**2, axis=1)[None, :]
     )
-    _, topk = jax.lax.top_k(-d, _SPILL_ROUNDS)  # (M, R)
+    rounds = min(_SPILL_ROUNDS, C)  # top_k k must not exceed n_lists
+    _, topk = jax.lax.top_k(-d, rounds)  # (M, R)
     assign = jnp.zeros((M,), jnp.int32)
     slot = jnp.zeros((M,), jnp.int32)
     placed = jnp.zeros((M,), bool)
     fill_cur = fill
-    for r in range(_SPILL_ROUNDS):
+    for r in range(rounds):
         cand = topk[:, r].astype(jnp.int32)
         a = jnp.where(placed, C, cand)  # C = sentinel: row already placed
         sl = jnp.take(fill_cur, jnp.clip(a, 0, C - 1)) + _segment_rank(a)
@@ -175,12 +176,18 @@ def _encode_residual(v, cent_rows, group_size: int, bits: int):
     return codes, scale.astype(jnp.bfloat16)
 
 
-def _decode_residual(codes, scales, group_size: int, bits: int):
+def _decode_residual(codes, scales, group_size: int, bits: int,
+                     code_mult: int = 1, code_offset: int = 0):
     """codes (..., W) int8, scales (..., G) → residuals (..., D) bf16.
 
     The whole chain stays bf16-width: int8 code values (≤127) are exact in
     bf16, and a f32 intermediate would materialize (B, nprobe·L, D) f32
-    buffers — measured 2×8 GB at production probe shapes, an OOM."""
+    buffers — measured 2×8 GB at production probe shapes, an OOM.
+
+    `code_mult`/`code_offset` rescale the raw codes before the scale
+    multiply (still exact in bf16: |16·code+8| ≤ 2040) — the refine tier
+    decodes its hi-nibble plane as (16·hi + 8)·s, the centered int4 view
+    of the underlying int8 code (see `_encode_residual_split`)."""
     p = codes.astype(jnp.int32)
     if bits == 4:
         lo = (p << 28) >> 28  # arithmetic shifts sign-extend the nibbles
@@ -190,6 +197,64 @@ def _decode_residual(codes, scales, group_size: int, bits: int):
         )
     else:
         q = p
+    if code_mult != 1 or code_offset != 0:
+        q = q * code_mult + code_offset
+    D = q.shape[-1]
+    G = D // group_size
+    r = q.reshape(*q.shape[:-1], G, group_size).astype(jnp.bfloat16)
+    r = r * scales[..., None].astype(jnp.bfloat16)
+    return r.reshape(*q.shape)
+
+
+# ------------------------- refine (two-tier) codec -------------------------
+#
+# NIBBLE-SPLIT int8: the row's int8 residual code q ∈ [-128, 127] is stored
+# as two packed nibble planes — hi = q >> 4 (signed, scanned as a centered
+# int4: value ≈ (16·hi + 8)·s, max error 8·s = half the int4 step) and
+# lo = q & 0xF (unsigned, touched only at rescore). The scan tier reads
+# HALF the bytes of the int8 codec (int4 speed); the rescore tier gathers
+# the top candidates' rows from BOTH planes and reconstructs q = 16·hi + lo
+# EXACTLY, so the final ranking is bit-identical to the int8 codec's.
+# Total memory = the int8 codec's bytes, just split — recall parity with
+# int8 (0.99 at 10M) at int4 scan bandwidth. Reference parity: chroma
+# keeps exact vectors and always scores them (reference
+# langchain_community/vectorstores/chroma.py:50-238); this is that
+# rescore, TPU-sized.
+
+
+def _encode_residual_split(v, cent_rows, group_size: int):
+    """→ (hi_packed (M, D/2) int8, lo_packed (M, D/2) int8,
+    scales (M, G) bf16). hi/lo pack adjacent column pairs exactly like
+    `_encode_residual(bits=4)` so the Pallas scan kernel reads the hi
+    plane unchanged (ops/ivf_scan.py decode, code_mult=16 offset=8)."""
+    codes8, scales = _encode_residual(v, cent_rows, group_size, bits=8)
+    q = codes8.astype(jnp.int32)
+    hi = q >> 4  # signed [-8, 7]
+    lo = q & 0xF  # unsigned [0, 15]
+
+    def pack(n):
+        return ((n[:, 0::2] & 0xF) | ((n[:, 1::2] & 0xF) << 4)).astype(
+            jnp.int8
+        )
+
+    return pack(hi), pack(lo), scales
+
+
+def _decode_split_exact(hi_packed, lo_packed, scales, group_size: int):
+    """Reconstruct the exact int8 residual from the two nibble planes:
+    q = 16·(hi sign-extended) + (lo unsigned) — bit-identical to
+    `_decode_residual(codes8, scales, bits=8)`."""
+    h = hi_packed.astype(jnp.int32)
+    l = lo_packed.astype(jnp.int32)
+    he = (h << 28) >> 28
+    ho = (h << 24) >> 28
+    le = l & 0xF
+    lo_odd = (l >> 4) & 0xF
+    q_even = he * 16 + le
+    q_odd = ho * 16 + lo_odd
+    q = jnp.stack([q_even, q_odd], axis=-1).reshape(
+        *h.shape[:-1], h.shape[-1] * 2
+    )
     D = q.shape[-1]
     G = D // group_size
     r = q.reshape(*q.shape[:-1], G, group_size).astype(jnp.bfloat16)
@@ -198,7 +263,8 @@ def _decode_residual(codes, scales, group_size: int, bits: int):
 
 
 def _coded_chunk_body(
-    q, cent, packed, scales, row_ids, *, k, nprobe, list_cap, group_size, bits
+    q, cent, packed, scales, row_ids, *, k, nprobe, list_cap, group_size,
+    bits, code_mult=1, code_offset=0, return_pos=False,
 ):
     B, D = q.shape
     C = cent.shape[0]
@@ -215,7 +281,7 @@ def _coded_chunk_body(
     resid = _decode_residual(
         pk.reshape(B, nprobe * list_cap, -1),
         sc.reshape(B, nprobe * list_cap, -1),
-        group_size, bits,
+        group_size, bits, code_mult, code_offset,
     )  # (B, nprobe·L, D) — fused into the einsum by XLA
     sims = jnp.einsum(
         "bd,bmd->bm", q.astype(jnp.bfloat16), resid,
@@ -226,18 +292,28 @@ def _coded_chunk_body(
     sims = jnp.where(cand_ids >= 0, sims, -jnp.inf)
     kk = min(k, sims.shape[1])
     best, sel = jax.lax.top_k(sims, kk)
+    if return_pos:
+        # flat storage positions of the selected candidates — the refine
+        # tier gathers rows by position, no id→position inverse map needed
+        cand_pos = (
+            probes[:, :, None] * list_cap
+            + jnp.arange(list_cap, dtype=jnp.int32)[None, None, :]
+        ).reshape(B, nprobe * list_cap)
+        cand_pos = jnp.where(cand_ids >= 0, cand_pos, -1)
+        return best, jnp.take_along_axis(cand_pos, sel, axis=1)
     return best, jnp.take_along_axis(cand_ids, sel, axis=1)
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "k", "nprobe", "list_cap", "group_size", "bits", "query_chunk"
+        "k", "nprobe", "list_cap", "group_size", "bits", "query_chunk",
+        "code_mult", "code_offset", "return_pos",
     ),
 )
 def _ivf_search_coded(
     q, cent, packed, scales, row_ids, *, k, nprobe, list_cap, group_size,
-    bits, query_chunk=0,
+    bits, query_chunk=0, code_mult=1, code_offset=0, return_pos=False,
 ):
     """Bounded-probe search over residual-coded storage: decode only the
     probed candidates, score = q·centroid + q·residual.
@@ -249,7 +325,8 @@ def _ivf_search_coded(
     fits with room to spare (callers auto-size it; see IVFIndex.search)."""
     body = partial(
         _coded_chunk_body, k=k, nprobe=nprobe, list_cap=list_cap,
-        group_size=group_size, bits=bits,
+        group_size=group_size, bits=bits, code_mult=code_mult,
+        code_offset=code_offset, return_pos=return_pos,
     )
     B = q.shape[0]
     if query_chunk <= 0 or query_chunk >= B:
@@ -295,6 +372,63 @@ def _scatter_rows_coded(packed_store, scale_store, row_ids, packed, scales,
     return packed_store, scale_store, row_ids
 
 
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _scatter_rows_refine(hi_store, lo_store, scale_store, row_ids,
+                         hi, lo, scales, ids, flat_pos, lo_pos):
+    """lo_pos = flat_pos (padded lo plane) or the row ids (dense plane)."""
+    hi_store = hi_store.at[flat_pos].set(hi)
+    lo_store = lo_store.at[lo_pos].set(lo)
+    scale_store = scale_store.at[flat_pos].set(scales)
+    row_ids = row_ids.at[flat_pos].set(ids)
+    return hi_store, lo_store, scale_store, row_ids
+
+
+def _rescore_refine_body(q, csims, hi, lo, scales, row_ids, pos, *, k,
+                         group_size, list_cap, lo_dense=False):
+    """Second tier: gather the scan candidates' rows from BOTH nibble
+    planes (one pass of small row gathers — ~nprobe·t·(D + D/2·…) bytes
+    per query, microseconds next to the scan), reconstruct the EXACT int8
+    residual, and re-rank. Scores are bit-identical to the int8 codec path
+    (`_coded_chunk_body` bits=8): same bf16 decode, same einsum.
+
+    `lo_dense`: the lo plane is stored DENSE by row id (exactly one row
+    per inserted vector, no list-cap padding — saves the ~25-30% padded
+    slot inflation of the 10M build) and is gathered via the candidate's
+    row id instead of its storage position."""
+    B, R = pos.shape
+    safe = jnp.clip(pos, 0, hi.shape[0] - 1)
+    h = jnp.take(hi, safe, axis=0)  # (B, R, D/2)
+    ids = jnp.take(row_ids, safe, axis=0)  # (B, R)
+    if lo_dense:
+        l = jnp.take(lo, jnp.clip(ids, 0, lo.shape[0] - 1), axis=0)
+    else:
+        l = jnp.take(lo, safe, axis=0)
+    sc = jnp.take(scales, safe, axis=0)  # (B, R, G)
+    resid = _decode_split_exact(h, l, sc, group_size)  # (B, R, D) bf16
+    dots = jnp.einsum(
+        "bd,brd->br", q.astype(jnp.bfloat16), resid,
+        preferred_element_type=jnp.float32,
+    )
+    base = jnp.take_along_axis(csims, safe // list_cap, axis=1)  # (B, R)
+    s = dots + base
+    s = jnp.where((pos >= 0) & (ids >= 0), s, -jnp.inf)
+    kk = min(k, R)
+    best, sel = jax.lax.top_k(s, kk)
+    out_ids = jnp.take_along_axis(ids, sel, axis=1)
+    return best, jnp.where(best > -jnp.inf, out_ids, -1)
+
+
+@partial(jax.jit, static_argnames=("k", "group_size", "list_cap",
+                                   "lo_dense"))
+def _rescore_refine(q, cent, hi, lo, scales, row_ids, pos, *, k,
+                    group_size, list_cap, lo_dense=False):
+    csims = q.astype(jnp.float32) @ cent.T.astype(jnp.float32)
+    return _rescore_refine_body(
+        q, csims, hi, lo, scales, row_ids, pos, k=k,
+        group_size=group_size, list_cap=list_cap, lo_dense=lo_dense,
+    )
+
+
 @partial(jax.jit, static_argnames=("k", "nprobe", "list_cap"))
 def _ivf_search(q, cent, storage, row_ids, *, k, nprobe, list_cap):
     """Bounded-probe search over list-grouped storage.
@@ -335,6 +469,8 @@ class IVFIndex:
         list_cap: int = 64,
         group_size: int = 32,  # int4: residual scale granularity
         spill: bool = False,  # hard-cap lists; overflow → 2nd centroid
+        refine: Optional[str] = None,  # "int8": two-tier nibble-split store
+        refine_capacity: Optional[int] = None,  # dense lo plane (see below)
     ):
         if metric not in ("ip", "cosine"):
             raise ValueError(f"unsupported metric {metric}")
@@ -346,10 +482,25 @@ class IVFIndex:
             dim % max(group_size, 2) or group_size % 2
         ):
             raise ValueError("coded dtypes need even group_size dividing dim")
+        if refine is not None and (refine != "int8" or dtype != "int4"):
+            raise ValueError(
+                "refine='int8' requires dtype='int4' (int4 scan tier + "
+                "exact-int8 rescore tier; see _encode_residual_split)"
+            )
+        if refine_capacity is not None and refine is None:
+            raise ValueError("refine_capacity requires refine='int8'")
         self.dim = dim
         self.n_lists = n_lists
         self.metric = metric
         self.dtype = dtype
+        self.refine = refine
+        # Dense lo plane: the rescore tier gathers rows individually, so
+        # the lo plane does not need the padded (C, list_cap) layout — with
+        # a known capacity it is allocated (capacity, D/2) indexed by ROW
+        # ID, shaving the ~25-30% padded-slot inflation off the 10M build
+        # (the difference between ~10 GB and ~8.6 GB at 10M×768).
+        self.refine_capacity = refine_capacity
+        self._lo_dense = refine_capacity is not None
         self.group_size = group_size
         self.size = 0
         self.spill = bool(spill)
@@ -358,6 +509,7 @@ class IVFIndex:
         self._list_cap = max(8, list_cap)
         self._l_blk: Optional[int] = None  # fused-scan sub-block (coded)
         self._storage: Optional[jax.Array] = None  # (C*L, D) | int4: (C*L, D/2)
+        self._lo: Optional[jax.Array] = None  # refine: (C*L, D/2) lo nibbles
         self._scales: Optional[jax.Array] = None  # int4: (C*L, D/g) bf16
         self._row_ids: Optional[jax.Array] = None  # (C*L,) -1 = empty
         self._fill: Optional[jax.Array] = None  # (C,) int32
@@ -370,7 +522,8 @@ class IVFIndex:
     def memory_bytes(self) -> int:
         """Row-payload bytes (storage + scales + ids + centroids)."""
         total = 0
-        for a in (self._storage, self._scales, self._row_ids, self.centroids):
+        for a in (self._storage, self._lo, self._scales, self._row_ids,
+                  self.centroids):
             if a is not None:
                 total += a.size * a.dtype.itemsize
         return total
@@ -404,6 +557,9 @@ class IVFIndex:
             self._l_blk, L = choose_blocking(L)
             W = self.dim // 2 if self.dtype == "int4" else self.dim
             self._storage = jnp.zeros((C * L, W), jnp.int8)
+            if self.refine:
+                rows = self.refine_capacity if self._lo_dense else C * L
+                self._lo = jnp.zeros((rows, W), jnp.int8)
             self._scales = jnp.zeros(
                 (C * L, self.dim // self.group_size), jnp.bfloat16
             )
@@ -427,6 +583,8 @@ class IVFIndex:
             return al.reshape(C * new_cap, W)
 
         self._storage = grow(self._storage)
+        if self._lo is not None and not self._lo_dense:
+            self._lo = grow(self._lo)
         if self._scales is not None:
             self._scales = grow(self._scales)
         ri = self._row_ids.reshape(C, L)
@@ -497,7 +655,25 @@ class IVFIndex:
                 self._grow_lists(cap)
             ids = np.arange(self.size, self.size + v.shape[0])
             flat_pos = assign * self._list_cap + slot
-        if self.dtype in ("int4", "int8"):
+        if self.refine:
+            if self._lo_dense and self.size + v.shape[0] > self.refine_capacity:
+                raise ValueError(
+                    f"dense refine plane full: capacity "
+                    f"{self.refine_capacity}, adding {v.shape[0]} at size "
+                    f"{self.size}"
+                )
+            cent_rows = jnp.take(self.centroids, assign, axis=0)
+            hi, lo, scales = _encode_residual_split(
+                v, cent_rows, self.group_size
+            )
+            ids_dev = jnp.asarray(ids, jnp.int32)
+            lo_pos = ids_dev if self._lo_dense else flat_pos
+            (self._storage, self._lo, self._scales,
+             self._row_ids) = _scatter_rows_refine(
+                self._storage, self._lo, self._scales, self._row_ids,
+                hi, lo, scales, ids_dev, flat_pos, lo_pos,
+            )
+        elif self.dtype in ("int4", "int8"):
             cent_rows = jnp.take(self.centroids, assign, axis=0)
             packed, scales = _encode_residual(
                 v, cent_rows, self.group_size, self._bits
@@ -516,13 +692,18 @@ class IVFIndex:
         return ids
 
     def search(self, queries, k: int = 10, nprobe: int = 8,
-               use_kernel: Optional[bool] = None):
+               use_kernel: Optional[bool] = None, rescore_t: int = 16):
         """Bounded-probe top-k. Coded dtypes route through the FUSED Pallas
         scan (`ops/ivf_scan.py`) on TPU by default — it reads each probed
         list's packed block once and keeps decode in VMEM, where the XLA
         path streams ~14 B/candidate-element of HBM decode temps (OOM at
         10M×768 batch 8). `use_kernel=False` forces the XLA path;
-        `use_kernel=True` forces the kernel (interpret mode off-TPU)."""
+        `use_kernel=True` forces the kernel (interpret mode off-TPU).
+
+        refine='int8' indexes run TWO tiers: the int4 hi-nibble scan keeps
+        the per-probed-list top-`rescore_t` candidates, then the rescore
+        gathers those rows' full nibble pair and re-ranks with the EXACT
+        int8 residual score — int8 recall at int4 scan bandwidth."""
         if self.size == 0:
             raise ValueError("index is empty")
         q = jnp.asarray(queries, jnp.float32)
@@ -533,6 +714,50 @@ class IVFIndex:
             q = _l2_normalize(q)
         nprobe = min(nprobe, self.n_lists)
         k = min(k, self.size)
+        if self.refine:
+            if use_kernel is None:
+                from intel_extension_for_transformers_tpu.utils.device import (
+                    use_pallas_interpret,
+                )
+
+                use_kernel = not use_pallas_interpret()
+            t = max(1, min(rescore_t, self._list_cap))
+            if use_kernel:
+                from intel_extension_for_transformers_tpu.ops.ivf_scan import (
+                    ivf_scan_candidates,
+                )
+
+                self._ensure_kernel_layout()
+                C, L = self.n_lists, self._list_cap
+                csims = q @ self.centroids.T.astype(jnp.float32)
+                _, probes = jax.lax.top_k(csims, nprobe)
+                _, pos = ivf_scan_candidates(
+                    q, self.centroids,
+                    self._storage.reshape(C, L, -1),
+                    self._scales.reshape(C, L, -1),
+                    self._row_ids.reshape(C, L),
+                    probes, t=t, bits=4, group_size=self.group_size,
+                    l_blk=self._l_blk, code_mult=16, code_offset=8,
+                )
+            else:
+                _, pos = _ivf_search_coded(
+                    q, self.centroids, self._storage, self._scales,
+                    self._row_ids, k=nprobe * t, nprobe=nprobe,
+                    list_cap=self._list_cap, group_size=self.group_size,
+                    bits=4, code_mult=16, code_offset=8, return_pos=True,
+                    query_chunk=_auto_query_chunk(
+                        q.shape[0], nprobe, self._list_cap, self.dim
+                    ),
+                )
+            scores, ids = _rescore_refine(
+                q, self.centroids, self._storage, self._lo, self._scales,
+                self._row_ids, pos, k=k, group_size=self.group_size,
+                list_cap=self._list_cap, lo_dense=self._lo_dense,
+            )
+            scores, ids = np.asarray(scores), np.asarray(ids)
+            if squeeze:
+                return scores[0], ids[0]
+            return scores, ids
         if self.dtype in ("int4", "int8"):
             if use_kernel is None:
                 from intel_extension_for_transformers_tpu.utils.device import (
@@ -598,6 +823,8 @@ class IVFIndex:
         )
         if self._scales is not None:
             arrays["scales"] = np.asarray(self._scales.astype(jnp.float32))
+        if self._lo is not None:
+            arrays["lo"] = np.asarray(self._lo)
         np.savez(os.path.join(path, "ivf.npz"), **arrays)
         with open(os.path.join(path, "ivf.json"), "w") as f:
             json.dump(
@@ -609,6 +836,8 @@ class IVFIndex:
                     "list_cap": self._list_cap,
                     "size": self.size,
                     "group_size": self.group_size,
+                    "refine": self.refine,
+                    "refine_capacity": self.refine_capacity,
                 },
                 f,
             )
@@ -621,6 +850,8 @@ class IVFIndex:
         idx = cls(
             meta["dim"], meta["n_lists"], meta["metric"], meta["dtype"],
             list_cap=meta["list_cap"], group_size=meta.get("group_size", 32),
+            refine=meta.get("refine"),
+            refine_capacity=meta.get("refine_capacity"),
         )
         idx.centroids = jnp.asarray(npz["centroids"])
         store_dtype = (
@@ -630,6 +861,8 @@ class IVFIndex:
         idx._storage = jnp.asarray(npz["storage"]).astype(store_dtype)
         if "scales" in npz:
             idx._scales = jnp.asarray(npz["scales"]).astype(jnp.bfloat16)
+        if "lo" in npz:
+            idx._lo = jnp.asarray(npz["lo"]).astype(jnp.int8)
         idx._row_ids = jnp.asarray(npz["row_ids"])
         idx._fill = jnp.asarray(npz["fill"])
         idx.size = meta["size"]
@@ -690,6 +923,7 @@ class ShardedIVFIndex:
         dtype: str = "bfloat16",
         list_cap: int = 64,
         group_size: int = 32,  # int4: residual scale granularity
+        refine: Optional[str] = None,  # "int8": two-tier nibble-split store
     ):
         if dtype not in ("float32", "bfloat16", "int8", "int4"):
             raise ValueError(
@@ -699,18 +933,25 @@ class ShardedIVFIndex:
             dim % max(group_size, 2) or group_size % 2
         ):
             raise ValueError("coded dtypes need even group_size dividing dim")
+        if refine is not None and (refine != "int8" or dtype != "int4"):
+            raise ValueError(
+                "refine='int8' requires dtype='int4' (int4 scan tier + "
+                "exact-int8 rescore tier; see _encode_residual_split)"
+            )
         self.dim = dim
         self.mesh = mesh
         self.axis = axis
         self.n_lists = n_lists
         self.metric = metric
         self.dtype = dtype
+        self.refine = refine
         self.group_size = group_size
         self.size = 0
         self.n_shards = mesh.shape[axis]
         self._list_cap = max(8, list_cap)
         self.centroids = None  # (P*C, D) sharded rows
         self._storage = None  # (P*C*L, D) sharded rows | int4: (·, D/2) int8
+        self._lo = None  # refine: (P*C*L, D/2) int8 lo-nibble plane
         self._scales = None  # int4: (P*C*L, D/g) bf16 sharded rows
         self._row_ids = None  # (P*C*L,) sharded
         self._fill = None  # host (P, C) int64 — slot bookkeeping
@@ -725,7 +966,8 @@ class ShardedIVFIndex:
 
     def memory_bytes(self) -> int:
         total = 0
-        for a in (self._storage, self._scales, self._row_ids, self.centroids):
+        for a in (self._storage, self._lo, self._scales, self._row_ids,
+                  self.centroids):
             if a is not None:
                 total += a.size * a.dtype.itemsize
         return total
@@ -764,6 +1006,10 @@ class ShardedIVFIndex:
             self._storage = jax.device_put(
                 jnp.zeros((Pn * C * L, W), jnp.int8), self._row_shd
             )
+            if self.refine:
+                self._lo = jax.device_put(
+                    jnp.zeros((Pn * C * L, W), jnp.int8), self._row_shd
+                )
             self._scales = jax.device_put(
                 jnp.zeros((Pn * C * L, self.dim // self.group_size),
                           jnp.bfloat16),
@@ -803,6 +1049,8 @@ class ShardedIVFIndex:
             )(arr)
 
         self._storage = grow_rows(self._storage)
+        if self._lo is not None:
+            self._lo = grow_rows(self._lo)
         if self._scales is not None:
             self._scales = grow_rows(self._scales)
 
@@ -855,7 +1103,15 @@ class ShardedIVFIndex:
         if max_fill > self._list_cap:
             cap = max(int(max_fill * 1.25), self._list_cap + 8)
             self._grow_lists(cap)
-        if self.dtype in ("int4", "int8"):
+        if self.refine:
+            (self._storage, self._lo, self._scales,
+             self._row_ids) = _sharded_scatter_refine(
+                self._storage, self._lo, self._scales, self._row_ids,
+                v_sh, ids_sh, assign, slot, self.centroids,
+                mesh=self.mesh, axis=self.axis, list_cap=self._list_cap,
+                group_size=self.group_size,
+            )
+        elif self.dtype in ("int4", "int8"):
             self._storage, self._scales, self._row_ids = _sharded_scatter_coded(
                 self._storage, self._scales, self._row_ids,
                 v_sh, ids_sh, assign, slot, self.centroids,
@@ -878,7 +1134,8 @@ class ShardedIVFIndex:
         self.size += M
         return ids[:M]
 
-    def search(self, queries, k: int = 10, nprobe: int = 8):
+    def search(self, queries, k: int = 10, nprobe: int = 8,
+               rescore_t: int = 16):
         if self.size == 0:
             raise ValueError("index is empty")
         q = jnp.asarray(queries, jnp.float32)
@@ -890,7 +1147,15 @@ class ShardedIVFIndex:
         nprobe = min(nprobe, self.n_lists)
         k = min(k, self.size)
         q = jax.device_put(q, self._repl)
-        if self.dtype in ("int4", "int8"):
+        if self.refine:
+            t = max(1, min(rescore_t, self._list_cap))
+            scores, ids = _sharded_ivf_search_refine(
+                q, self.centroids, self._storage, self._lo, self._scales,
+                self._row_ids, mesh=self.mesh, axis=self.axis, k=k,
+                nprobe=nprobe, list_cap=self._list_cap,
+                group_size=self.group_size, t=t,
+            )
+        elif self.dtype in ("int4", "int8"):
             scores, ids = _sharded_ivf_search_coded(
                 q, self.centroids, self._storage, self._scales, self._row_ids,
                 mesh=self.mesh, axis=self.axis, k=k, nprobe=nprobe,
@@ -943,6 +1208,81 @@ def _sharded_ivf_search_coded(
         out_specs=(P(), P()),
         check_vma=False,
     )(q, cent, packed, scales, row_ids)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "axis", "k", "nprobe", "list_cap", "group_size", "t"
+    ),
+)
+def _sharded_ivf_search_refine(
+    q, cent, hi, lo, scales, row_ids, *, mesh, axis, k, nprobe, list_cap,
+    group_size, t,
+):
+    """Two-tier refine search per shard, exact-rescored BEFORE the ICI
+    merge — each shard's k results carry exact int8 scores, so the global
+    merge is exact over the probed lists (same guarantee as the coded
+    path, at int4 scan bandwidth)."""
+
+    def shard_fn(qq, c, hh, ll, sc, ri):
+        R = min(nprobe * t, nprobe * list_cap)
+        _, pos = _ivf_search_coded(
+            qq, c, hh, sc, ri, k=R, nprobe=nprobe, list_cap=list_cap,
+            group_size=group_size, bits=4, code_mult=16, code_offset=8,
+            return_pos=True,
+        )
+        csims = qq.astype(jnp.float32) @ c.T.astype(jnp.float32)
+        scores, ids = _rescore_refine_body(
+            qq, csims, hh, ll, sc, ri, pos, k=k, group_size=group_size,
+            list_cap=list_cap,
+        )
+        all_scores = jax.lax.all_gather(scores, axis, axis=1)
+        all_ids = jax.lax.all_gather(ids, axis, axis=1)
+        B = qq.shape[0]
+        kk = scores.shape[1]
+        best, p = jax.lax.top_k(all_scores.reshape(B, -1), kk)
+        return best, jnp.take_along_axis(all_ids.reshape(B, -1), p, axis=1)
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis, None), P(axis, None),
+                  P(axis, None), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(q, cent, hi, lo, scales, row_ids)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "list_cap", "group_size"),
+)
+def _sharded_scatter_refine(
+    hi_store, lo_store, scale_store, row_ids, v, ids, assign, slot, cent,
+    *, mesh, axis, list_cap, group_size,
+):
+    """Nibble-split encode vs the SHARD's own centroids, scatter device-side."""
+
+    def f(hst, lst, sst, ri, vv, ii, aa, ss, cc):
+        flat_pos = aa * list_cap + ss
+        hi, lo, scales = _encode_residual_split(
+            vv, jnp.take(cc, aa, axis=0), group_size
+        )
+        hst = hst.at[flat_pos].set(hi)
+        lst = lst.at[flat_pos].set(lo)
+        sst = sst.at[flat_pos].set(scales)
+        ri = ri.at[flat_pos].set(ii)
+        return hst, lst, sst, ri
+
+    return jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis),
+                  P(axis, None), P(axis), P(axis), P(axis), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+        check_vma=False,
+    )(hi_store, lo_store, scale_store, row_ids, v, ids, assign, slot, cent)
 
 
 @partial(

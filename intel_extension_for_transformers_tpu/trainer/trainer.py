@@ -376,6 +376,7 @@ class NLPTrainer:
         accuracy_criterion: float = 0.01,
         fallback_configs=None,
         metric=None,
+        eval_batch_size: int = 32,
     ):
         """PTQ directly, or QAT (straight-through fake quant during training,
         then real quantization) for QuantAwareTrainingConfig
@@ -442,11 +443,13 @@ class NLPTrainer:
             accuracy_criterion=accuracy_criterion,
             fallback_configs=fallback_configs,
             relative=relative,
+            eval_batch_size=eval_batch_size,
         )
 
     def _quantize_with_accuracy_gate(
         self, quant_config, calib_inputs, *, eval_tasks, tokenizer,
         accuracy_criterion, fallback_configs, relative=True,
+        eval_batch_size=32,
     ):
         import dataclasses
 
@@ -455,7 +458,7 @@ class NLPTrainer:
 
         def score(params):
             res = evaluate(params, self.model_config, tokenizer, eval_tasks,
-                           batch_size=32)
+                           batch_size=eval_batch_size)
             # acc where a task reports it; perplexity-only tasks contribute
             # exp(-nll) = 1/ppl (mean per-token probability) — an acc-like
             # quantity in (0, 1) whose RELATIVE drop mirrors a ppl rise, so
