@@ -29,17 +29,21 @@ from bench_gptj_int4 import build_params  # noqa: E402 — shared builder
 
 
 def run_engine(params, config, *, slots, horizon, tokens, prompt_len,
-               max_admissions=2):
+               max_admissions=2, kv_dtype="bfloat16", draft=None, gamma=4):
     from intel_extension_for_transformers_tpu.models.engine import (
         DecodeEngine,
         EngineRequest,
     )
 
+    spec_kw = {}
+    if draft is not None:
+        spec_kw = dict(draft_params=draft[0], draft_config=draft[1],
+                       num_speculative_tokens=gamma)
     eng = DecodeEngine(
         params, config,
-        max_slots=slots, max_len=prompt_len + tokens + max(8, horizon),
+        max_slots=slots, max_len=prompt_len + tokens + max(8, horizon, gamma + 2),
         prefill_chunk=64, decode_horizon=horizon,
-        max_admissions=max_admissions,
+        max_admissions=max_admissions, kv_dtype=kv_dtype, **spec_kw,
     ).start()
     try:
         # warmup: compiles prefill, first-token, and the decode program
@@ -67,6 +71,113 @@ def run_engine(params, config, *, slots, horizon, tokens, prompt_len,
             "ms_per_token_per_stream": round(dt * 1e3 * slots / n_tok, 3),
             "wall_s": round(dt, 3),
             "dispatches": eng._steps,
+            "tok_per_dispatch": round(n_tok / max(1, eng._steps), 2),
+        }
+    finally:
+        eng.stop()
+
+
+def make_draft(params, config, *, draft_layers):
+    """(draft_params, draft_config) + a CEILING-equivalent target.
+
+    Offline rig for the speculative path (reference analogue:
+    assistant-model speculative decoding, neural_chat/models/model_utils.py:
+    503-516 — there the draft is a smaller finetuned model): random weights
+    can't give a realistic mid-range acceptance, so this measures the two
+    honest endpoints instead. The CEILING target zeroes the residual
+    out-projection scales of layers `draft_layers:` — those layers then
+    contribute exactly 0 to the residual stream, so the full-depth target
+    computes the SAME function as the truncated draft (acceptance → 1.0)
+    while still paying full-depth verify matmuls (zeros cost the same DMA
+    and MXU cycles as any other int4 weights; biases are already zeros in
+    build_params). The FLOOR pairs the target with an independently random
+    draft (acceptance ≈ 0) and prices pure speculation overhead.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    draft_config = dataclasses.replace(
+        config, num_hidden_layers=draft_layers
+    )
+    draft_params = dict(params)
+    draft_params["layers"] = params["layers"][:draft_layers]
+
+    def zero_qt(qt):
+        return dataclasses.replace(qt, scales=jnp.zeros_like(qt.scales))
+
+    ceiling_layers = list(params["layers"][:draft_layers])
+    for layer in params["layers"][draft_layers:]:
+        layer = dict(layer)
+        layer["attention"] = dict(
+            layer["attention"],
+            o=dict(layer["attention"]["o"],
+                   kernel=zero_qt(layer["attention"]["o"]["kernel"])),
+        )
+        layer["mlp"] = dict(
+            layer["mlp"],
+            down=dict(layer["mlp"]["down"],
+                      kernel=zero_qt(layer["mlp"]["down"]["kernel"])),
+        )
+        ceiling_layers.append(layer)
+    ceiling_params = dict(params, layers=ceiling_layers)
+    return draft_params, draft_config, ceiling_params
+
+
+def run_prefix(params, config, *, prompt_len, tail_len=16, tokens=8,
+               repeats=4):
+    """TTFT with a COLD vs WARM shared prompt prefix (prefix_cache LRU).
+
+    Submits one request with a `prompt_len`-token system prompt + unique
+    tail (cold: full chunked prefill), then `repeats` more sharing the same
+    prefix (warm: KV rows restored from the LRU, only the tail prefills).
+    TTFT = submit → first token out of the stream, measured caller-side
+    like a real client.
+    """
+    import time as _t
+
+    from intel_extension_for_transformers_tpu.models.engine import (
+        DecodeEngine,
+        EngineRequest,
+    )
+
+    eng = DecodeEngine(
+        params, config,
+        max_slots=2, max_len=prompt_len + tail_len + tokens + 8,
+        prefill_chunk=128, prefix_cache=4,
+    ).start()
+    try:
+        prefix = np.arange(7, prompt_len + 7, dtype=np.int32)
+
+        def ttft(tail_seed):
+            tail = np.arange(tail_seed, tail_seed + tail_len, dtype=np.int32)
+            r = EngineRequest(np.concatenate([prefix, tail]),
+                              max_new_tokens=tokens)
+            t0 = _t.perf_counter()
+            eng.submit(r)
+            it = r.tokens()
+            next(it)
+            t_first = _t.perf_counter() - t0
+            list(it)
+            return t_first * 1e3
+
+        # compile warmup (prefill + decode programs); its stored full prompt
+        # can never prefix-match the distinct tails below
+        ttft(1)
+        cold = ttft(1000)
+        # register the SHARED system prompt (reference server analogue:
+        # prompt template prefilled once at startup) — later prompts that
+        # extend it restore prompt_len KV rows and prefill only the tail
+        eng.warm_prefix(prefix)
+        warm = [ttft(2000 + 100 * i) for i in range(repeats)]
+        stats = eng.stats()
+        return {
+            "cold_ttft_ms": round(cold, 1),
+            "warm_ttft_ms": round(float(np.median(warm)), 1),
+            "warm_runs_ms": [round(w, 1) for w in warm],
+            "prefix_hits": stats["prefix_cache_hits"],
+            "prefix_tokens_reused": stats["prefix_tokens_reused"],
+            "speedup": round(cold / float(np.median(warm)), 2),
         }
     finally:
         eng.stop()
@@ -85,6 +196,22 @@ def main():
                    help="concurrent in-flight admissions; coarse horizons "
                    "want it ≈ slots so a wave of arrivals is admitted "
                    "within one burst boundary")
+    p.add_argument("--kv-dtype", default="bfloat16",
+                   choices=["bfloat16", "int8"],
+                   help="int8 halves KV HBM → 2x slots at the same context")
+    p.add_argument("--spec", default="off",
+                   choices=["off", "ceiling", "floor"],
+                   help="speculative decoding endpoints: 'ceiling' = "
+                   "truncated draft whose function the target matches "
+                   "exactly (acceptance→1), 'floor' = independent random "
+                   "draft (acceptance≈0, prices the overhead)")
+    p.add_argument("--gamma", type=int, default=4,
+                   help="speculative tokens proposed per verify")
+    p.add_argument("--draft-layers", type=int, default=4)
+    p.add_argument("--warm-prefix", action="store_true",
+                   help="measure cold vs warm TTFT on a shared system "
+                   "prompt via the prompt-prefix KV LRU instead of "
+                   "throughput")
     args = p.parse_args()
 
     import jax
@@ -112,10 +239,49 @@ def main():
     params = build_params(config, np.random.default_rng(0), group_size=gs)
     print(f"built int4 {args.arch} in {time.time()-t0:.0f}s", file=sys.stderr)
 
+    if args.warm_prefix:
+        detail = run_prefix(params, config, prompt_len=args.prompt_len)
+        print(f"warm-prefix: {detail}", file=sys.stderr, flush=True)
+        print(json.dumps({
+            "metric": f"{args.arch}_int4_warm_prefix_ttft_p{args.prompt_len}",
+            "value": detail["warm_ttft_ms"],
+            "unit": "ms",
+            "vs_baseline": detail["speedup"],
+            "detail": detail,
+        }))
+        return
+
     detail = {}
     kw = dict(slots=args.slots, tokens=args.tokens,
               prompt_len=args.prompt_len,
-              max_admissions=args.max_admissions)
+              max_admissions=args.max_admissions, kv_dtype=args.kv_dtype)
+    if args.spec != "off":
+        draft_params, draft_config, ceiling_params = make_draft(
+            params, config, draft_layers=args.draft_layers
+        )
+        target = ceiling_params if args.spec == "ceiling" else params
+        # plain greedy baseline on the SAME target params (horizon 1 —
+        # speculative steps are single-dispatch too, so per-dispatch relay
+        # overhead is identical between the two columns)
+        detail["plain"] = run_engine(target, config, horizon=1, **kw)
+        print(f"plain: {detail['plain']}", file=sys.stderr, flush=True)
+        detail[f"spec_g{args.gamma}"] = run_engine(
+            target, config, horizon=1,
+            draft=(draft_params, draft_config), gamma=args.gamma, **kw,
+        )
+        print(f"spec: {detail[f'spec_g{args.gamma}']}",
+              file=sys.stderr, flush=True)
+        best = detail[f"spec_g{args.gamma}"]
+        print(json.dumps({
+            "metric": (f"{args.arch}_int4_speculative_{args.spec}"
+                       f"_g{args.gamma}_L{args.draft_layers}"),
+            "value": best["tok_s"],
+            "unit": "tok/s",
+            "vs_baseline": round(best["tok_s"] / detail["plain"]["tok_s"], 2),
+            "detail": detail,
+        }))
+        return
+
     if not args.skip_h1:
         detail["h1"] = run_engine(params, config, horizon=1, **kw)
         print(f"h1: {detail['h1']}", file=sys.stderr, flush=True)
