@@ -409,3 +409,44 @@ class TtsPlugin:
     # plugin post-hook protocol: attach audio alongside the text response
     def post_llm_inference_actions(self, response: str):
         return response
+
+
+@register_plugin("tts_multilang")
+class MultilangTtsPlugin:
+    """Multilingual TTS (reference: pipeline/plugins/audio/tts_multilang.py
+    — BertVITS2 with langid splitting and a language-id track). Here: the
+    language-conditioned FastSpeech-lite in models/tts_multilang.py —
+    Unicode-script segmentation of mixed zh/ja/en text, a learned
+    per-language embedding beside the byte embeddings, one fused synthesis
+    over the whole mixed sentence."""
+
+    def __init__(self, preloaded=None, sample_rate: int = 16000,
+                 vocoder_iters: int = 32):
+        import jax
+
+        from intel_extension_for_transformers_tpu.models import (
+            tts_multilang as M,
+        )
+
+        if preloaded is not None:
+            self.params, self.config = preloaded
+        else:
+            self.config = M.MultilangTTSConfig()
+            self.params = M.tts_multilang_init_params(
+                jax.random.PRNGKey(0), self.config
+            )
+        self._M = M
+        self.sample_rate = sample_rate
+        self.vocoder_iters = vocoder_iters
+        self.languages = list(M.SUPPORTED_LANGUAGES)
+
+    def text2speech(self, text: str):
+        """→ (waveform float32 [-1, 1], sample_rate)."""
+        wav, _ = self._M.synthesize_multilang(
+            self.params, self.config, text or "\0",
+            vocoder_iters=self.vocoder_iters,
+        )
+        return wav, self.sample_rate
+
+    def post_llm_inference_actions(self, response: str):
+        return response
