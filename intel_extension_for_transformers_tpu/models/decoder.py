@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from intel_extension_for_transformers_tpu.models.llama import (
     KVCache,
     _cache_write,
+    _kv_quantize,
     init_kv_cache,
 )
 from intel_extension_for_transformers_tpu.ops.layers import (
@@ -292,7 +293,7 @@ def alibi_slopes(n_heads: int) -> np.ndarray:
 
 
 def _decoder_layer(layer, x, config: DecoderConfig, positions, mask, bias4,
-                   cache_k, cache_v, start):
+                   cache_k, cache_v, start, cache_ks=None, cache_vs=None):
     B, T, h = x.shape
     nh = config.num_attention_heads
     nkv = config.num_key_value_heads
@@ -322,7 +323,20 @@ def _decoder_layer(layer, x, config: DecoderConfig, positions, mask, bias4,
                 [_apply_rope(k[..., :rd], cos, sin, config.rotary_interleaved),
                  k[..., rd:]], axis=-1)
 
-    if cache_k is not None:
+    if cache_k is not None and cache_ks is not None:
+        # int8 KV (same codec as llama.py:358): quantize new rows ONCE at
+        # write — per-(B,T,Hkv) symmetric scales — dequant on attend
+        k8, ksc = _kv_quantize(k)
+        v8, vsc = _kv_quantize(v)
+        cache_k = _cache_write(cache_k, k8, start)
+        cache_v = _cache_write(cache_v, v8, start)
+        cache_ks = _cache_write(cache_ks, ksc, start)
+        cache_vs = _cache_write(cache_vs, vsc, start)
+        k_all = (cache_k.astype(jnp.float32)
+                 * cache_ks[..., None]).astype(x.dtype)
+        v_all = (cache_v.astype(jnp.float32)
+                 * cache_vs[..., None]).astype(x.dtype)
+    elif cache_k is not None:
         cache_k = _cache_write(cache_k, k, start)
         cache_v = _cache_write(cache_v, v, start)
         k_all, v_all = cache_k.astype(x.dtype), cache_v.astype(x.dtype)
@@ -354,7 +368,7 @@ def _decoder_layer(layer, x, config: DecoderConfig, positions, mask, bias4,
         x = x + attn_out + mlp_out
     else:
         x = x + mlp_out
-    return x, cache_k, cache_v
+    return x, cache_k, cache_v, cache_ks, cache_vs
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -407,22 +421,32 @@ def decoder_apply(
         dist = key_pos - qpos  # ≤ 0 on the causal part
         bias4 = slopes[None, :, None, None] * dist  # (B, H, T, S)
 
-    new_k, new_v = [], []
+    quant = cache is not None and cache.k_scale is not None
+    new_k, new_v, new_ks, new_vs = [], [], [], []
     for li, layer in enumerate(params["layers"]):
         ck = cache.k[li] if cache is not None else None
         cv = cache.v[li] if cache is not None else None
-        x, ck, cv = _decoder_layer(
-            layer, x, config, positions, mask, bias4, ck, cv, start
+        cks = cache.k_scale[li] if quant else None
+        cvs = cache.v_scale[li] if quant else None
+        x, ck, cv, cks, cvs = _decoder_layer(
+            layer, x, config, positions, mask, bias4, ck, cv, start,
+            cks, cvs,
         )
         new_k.append(ck)
         new_v.append(cv)
+        new_ks.append(cks)
+        new_vs.append(cvs)
 
     x = _norm(x, params["final_norm"], config)
     logits = dense(x, params["lm_head"]["kernel"], params["lm_head"].get("bias"))
 
     new_cache = None
     if cache is not None:
-        new_cache = KVCache(k=new_k, v=new_v, length=cache.length + T)
+        new_cache = KVCache(
+            k=new_k, v=new_v, length=cache.length + T,
+            k_scale=new_ks if quant else None,
+            v_scale=new_vs if quant else None,
+        )
     return logits, new_cache
 
 

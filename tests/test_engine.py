@@ -695,3 +695,40 @@ def test_engine_dead_step_thread_fails_fast(tiny):
     assert isinstance(eng.fatal_error, RuntimeError)
     with pytest.raises(RuntimeError, match="step thread died"):
         eng.submit(EngineRequest(np.array([1], np.int32)))
+
+
+def test_engine_int8_kv_decoder_family():
+    """int8 KV through the GENERIC decoder (GPT-J/MPT/Falcon families) —
+    the round-5 serving sweep found kv_dtype='int8' only implemented in
+    llama.py: the decoder's apply returned a cache with k_scale=None and
+    _insert_slot died on the first admission. Exact greedy parity vs a
+    single-slot oracle on the same numerics path, overlapped admissions."""
+    from intel_extension_for_transformers_tpu.models.decoder import (
+        DecoderConfig,
+        decoder_init_params,
+    )
+
+    config = DecoderConfig.tiny()
+    params = decoder_init_params(jax.random.PRNGKey(3), config)
+    T = 8
+    prompts = [(np.arange(1, 7, dtype=np.int32) * (i + 3)) % 250
+               for i in range(6)]
+    oracle = DecodeEngine(params, config, max_slots=1, max_len=64,
+                          kv_dtype="int8", decode_horizon=4).start()
+    try:
+        refs = [oracle.generate(p, max_new_tokens=T) for p in prompts]
+    finally:
+        oracle.stop()
+    eng = DecodeEngine(params, config, max_slots=4, max_len=64,
+                       kv_dtype="int8", decode_horizon=4,
+                       max_admissions=4).start()
+    try:
+        reqs = [EngineRequest(p, max_new_tokens=T) for p in prompts]
+        for r in reqs:
+            eng.submit(r)
+        outs = [list(r.tokens()) for r in reqs]
+        for ref, out in zip(refs, outs):
+            np.testing.assert_array_equal(ref, np.array(out))
+        assert eng.stats()["kv_dtype"] == "int8"
+    finally:
+        eng.stop()
