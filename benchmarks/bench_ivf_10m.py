@@ -37,9 +37,10 @@ def main():
     p.add_argument("--dtypes", nargs="+", default=["int4", "int8"],
                    help="int4 | int8 | int4_refine (two-tier: int4 "
                    "hi-nibble scan + exact-int8 rescore, dense lo plane)")
-    p.add_argument("--rescore-t", type=int, default=16,
+    p.add_argument("--rescore-t", type=int, nargs="+", default=[16],
                    help="int4_refine: per-probed-list candidates kept by "
-                   "the scan tier and re-scored exactly")
+                   "the scan tier and re-scored exactly (a search-time "
+                   "knob — every value sweeps on the SAME build)")
     p.add_argument("--group-size", type=int, default=32,
                    help="residual codec scale granularity")
     p.add_argument("--cap-ratio", type=float, default=1.5,
@@ -274,13 +275,12 @@ def run_search_phase(args, dt, idx, qd, queries, best_i, build_s):
         lo = idx._lo  # dense (n, W) by row id, or padded (C·L, W)
         idx._lo = None
         lo_dense = idx._lo_dense
-        t_res = args.rescore_t
 
         import functools
 
-        @functools.partial(jax.jit, static_argnames=("nprobe",))
+        @functools.partial(jax.jit, static_argnames=("nprobe", "t_res"))
         def _refine_one(qb, cent, storage, scales, row_ids, lo_plane, *,
-                        nprobe):
+                        nprobe, t_res):
             # reshapes inside jit = free bitcasts (eager ones COPY — the
             # round-4 OOM lesson)
             csims = qb @ cent.T.astype(jnp.float32)
@@ -296,17 +296,19 @@ def run_search_phase(args, dt, idx, qd, queries, best_i, build_s):
                 group_size=idx.group_size, list_cap=L, lo_dense=lo_dense,
             )
 
-    def kernel_search(qb, nprobe):
+    max_id = args.n if args.n < 2**24 else None  # f32-exact compacted merge
+
+    def kernel_search(qb, nprobe, t_res):
         qb = jnp.asarray(qb, jnp.float32)
         if refine:
             return _refine_one(qb, cent, storage3, scales3, rids2, lo,
-                               nprobe=nprobe)
+                               nprobe=nprobe, t_res=t_res)
         csims = qb @ cent.T.astype(jnp.float32)
         _, probes = jax.lax.top_k(csims, nprobe)
         return ivf_scan_topk(
             qb, cent, storage3, scales3, rids2, probes,
             k=10, bits=idx._bits, group_size=idx.group_size,
-            l_blk=idx._l_blk,
+            l_blk=idx._l_blk, max_id=max_id,
         )
 
     q = jnp.asarray(queries[: args.batch], jnp.float32)
@@ -320,77 +322,87 @@ def run_search_phase(args, dt, idx, qd, queries, best_i, build_s):
         -(np.asarray(q) @ np.asarray(cent).T), axis=1
     )
     points = {}
-    for nprobe in args.nprobe:
-        hits = 0
-        for j in range(0, NQ, args.batch):
-            _, ids = kernel_search(qd[j:j + args.batch], nprobe)
-            ids = np.asarray(ids)
-            for r, row in enumerate(ids):
-                hits += len(set(row.tolist()) & set(best_i[j + r].tolist()))
-        rec = hits / (NQ * 10)
-
-        # fused-loop QPS (arguments, not closure constants — relay 413 rule)
-        @jax.jit
-        def loop(qq, cent, storage, scales, row_ids, lo_plane):
-            def body(i, acc):
-                qi = qq + 0 * i.astype(qq.dtype)
-                csims = qi @ cent.T.astype(jnp.float32)
-                _, probes = jax.lax.top_k(csims, nprobe)
-                if refine:
-                    _, pos = ivf_scan_candidates(
-                        qi, cent, storage, scales, row_ids, probes,
-                        t=t_res, bits=4, group_size=idx.group_size,
-                        l_blk=idx._l_blk, code_mult=16, code_offset=8,
+    t_sweep = args.rescore_t if refine else [None]
+    for t_res in t_sweep:
+        for nprobe in args.nprobe:
+            hits = 0
+            for j in range(0, NQ, args.batch):
+                _, ids = kernel_search(qd[j:j + args.batch], nprobe, t_res)
+                ids = np.asarray(ids)
+                for r, row in enumerate(ids):
+                    hits += len(
+                        set(row.tolist()) & set(best_i[j + r].tolist())
                     )
-                    _, ii = _rescore_refine(
-                        qi, cent, storage.reshape(C * L, W), lo_plane,
-                        scales.reshape(C * L, G), row_ids.reshape(-1), pos,
-                        k=10, group_size=idx.group_size, list_cap=L,
-                        lo_dense=lo_dense,
-                    )
-                else:
-                    _, ii = ivf_scan_topk(
-                        qi, cent, storage, scales, row_ids, probes,
-                        k=10, bits=idx._bits, group_size=idx.group_size,
-                        l_blk=idx._l_blk,
-                    )
-                return acc + ii[0, 0]
+            rec = hits / (NQ * 10)
 
-            return jax.lax.fori_loop(0, args.iters, body, jnp.int32(0))
+            # fused-loop QPS (arguments, not closure constants — 413 rule)
+            @jax.jit
+            def loop(qq, cent, storage, scales, row_ids, lo_plane):
+                def body(i, acc):
+                    qi = qq + 0 * i.astype(qq.dtype)
+                    csims = qi @ cent.T.astype(jnp.float32)
+                    _, probes = jax.lax.top_k(csims, nprobe)
+                    if refine:
+                        _, pos = ivf_scan_candidates(
+                            qi, cent, storage, scales, row_ids, probes,
+                            t=t_res, bits=4, group_size=idx.group_size,
+                            l_blk=idx._l_blk, code_mult=16, code_offset=8,
+                        )
+                        _, ii = _rescore_refine(
+                            qi, cent, storage.reshape(C * L, W), lo_plane,
+                            scales.reshape(C * L, G), row_ids.reshape(-1),
+                            pos, k=10, group_size=idx.group_size,
+                            list_cap=L, lo_dense=lo_dense,
+                        )
+                    else:
+                        _, ii = ivf_scan_topk(
+                            qi, cent, storage, scales, row_ids, probes,
+                            k=10, bits=idx._bits, group_size=idx.group_size,
+                            l_blk=idx._l_blk, max_id=max_id,
+                        )
+                    return acc + ii[0, 0]
 
-        lo_arg = lo if refine else jnp.zeros((1, 1), jnp.int8)
-        operands = (q, cent, storage3, scales3, rids2, lo_arg)
-        int(loop(*operands))
-        t0 = time.perf_counter()
-        int(loop(*operands))
-        dt_s = time.perf_counter() - t0
-        qps = args.batch * args.iters / dt_s
+                return jax.lax.fori_loop(0, args.iters, body, jnp.int32(0))
 
-        # roofline: probed-union scan bytes + refine gather bytes per batch
-        uniq = len(np.unique(probes_np[:, :nprobe]))
-        row_bytes = W + 2 * G + 4  # packed + bf16 scales + row id
-        scan_bytes = uniq * L * row_bytes
-        gather_bytes = 0
-        if refine:
-            # hi + lo + scales + rid per candidate row (per-row gathers)
-            gather_bytes = args.batch * nprobe * t_res * (2 * W + 2 * G + 4)
-        bound_qps = args.batch / ((scan_bytes + gather_bytes) / DMA_GBPS)
-        points[f"nprobe{nprobe}"] = {
-            "qps": round(qps, 1),
-            "recall@10": round(float(rec), 4),
-            "dma_bound_qps": round(bound_qps, 1),
-            "dma_pct": round(100 * qps / bound_qps, 1),
-        }
-        print(f"[{dt}] nprobe {nprobe}: {points[f'nprobe{nprobe}']} "
-              f"(union {uniq} lists, {scan_bytes/1e6:.0f} MB scan "
-              f"+ {gather_bytes/1e6:.0f} MB gather / batch)",
-              file=sys.stderr, flush=True)
+            lo_arg = lo if refine else jnp.zeros((1, 1), jnp.int8)
+            operands = (q, cent, storage3, scales3, rids2, lo_arg)
+            int(loop(*operands))
+            t0 = time.perf_counter()
+            int(loop(*operands))
+            dt_s = time.perf_counter() - t0
+            qps = args.batch * args.iters / dt_s
+
+            # roofline: probed-union scan + refine gather bytes per batch
+            uniq = len(np.unique(probes_np[:, :nprobe]))
+            row_bytes = W + 2 * G + 4  # packed + bf16 scales + row id
+            scan_bytes = uniq * L * row_bytes
+            gather_bytes = 0
+            key = f"nprobe{nprobe}"
+            if refine:
+                # hi + lo + scales + rid per candidate row (row gathers)
+                gather_bytes = (
+                    args.batch * nprobe * t_res * (2 * W + 2 * G + 4)
+                )
+                key = f"nprobe{nprobe}_t{t_res}"
+            bound_qps = args.batch / ((scan_bytes + gather_bytes) / DMA_GBPS)
+            points[key] = {
+                "qps": round(qps, 1),
+                "recall@10": round(float(rec), 4),
+                "dma_bound_qps": round(bound_qps, 1),
+                "dma_pct": round(100 * qps / bound_qps, 1),
+            }
+            print(f"[{dt}] {key}: {points[key]} "
+                  f"(union {uniq} lists, {scan_bytes/1e6:.0f} MB scan "
+                  f"+ {gather_bytes/1e6:.0f} MB gather / batch)",
+                  file=sys.stderr, flush=True)
 
     mem = (storage3.size * storage3.dtype.itemsize
            + scales3.size * scales3.dtype.itemsize
            + rids2.size * 4 + cent.size * 4
            + (lo.size * lo.dtype.itemsize if lo is not None else 0))
-    top = points[f"nprobe{args.nprobe[0]}"]
+    top_key = (f"nprobe{args.nprobe[0]}_t{args.rescore_t[0]}"
+               if refine else f"nprobe{args.nprobe[0]}")
+    top = points[top_key]
     detail = {dt: {
         **top,
         "memory_gb": round(mem / 1e9, 2),

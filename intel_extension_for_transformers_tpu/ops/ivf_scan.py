@@ -120,6 +120,58 @@ def _compact_probes(probes, csims, B):
     return ul, member, base, live.astype(jnp.int32)
 
 
+# Finite "minus infinity" for scores: the member-compaction path routes
+# scores through 0/1 selection dots, and 0 · (-inf) = NaN — every masked
+# score in these kernels uses this sentinel instead. Scores are bounded
+# (|q·r| ≤ √D·|q||r| ≪ 1e6 for unit-ish embeddings), so -1e30 can never
+# be a real score; validity tests use `> _NEG_VALID`.
+_NEG = -1e30
+_NEG_VALID = -1e29
+
+
+def _topk_rounds(s_all, i_all, t: int):
+    """t rounds of masked iota-max over lanes (the scan_topk.py reduction
+    idiom): → (rows, t) scores + ids. Row-independent, so callers may run
+    it on member-compacted rows. `i_all` may be int32 (exact) or f32
+    (ids known < 2²⁴ — the compaction path's MXU dots require f32)."""
+    if i_all.dtype == jnp.float32:
+        i_min = jnp.float32(-1e9)
+        none = jnp.float32(-1.0)
+    else:
+        i_min = jnp.int32(-(2**31) + 1)
+        none = jnp.int32(-1)
+    cols_s, cols_i = [], []
+    for _ in range(t):
+        m = jnp.max(s_all, axis=1, keepdims=True)  # (rows, 1)
+        sel = (s_all == m) & (s_all > _NEG_VALID)
+        # tie-break by highest id — unique ids ⇒ exactly one winner
+        a = jnp.max(jnp.where(sel, i_all, i_min), axis=1, keepdims=True)
+        cols_s.append(m[:, 0])
+        cols_i.append(jnp.where(m[:, 0] > _NEG_VALID, a[:, 0], none))
+        s_all = jnp.where(sel & (i_all == a), _NEG, s_all)
+    return jnp.stack(cols_s, axis=1), jnp.stack(cols_i, axis=1)
+
+
+def _member_selector(memberL, m_rows: int):
+    """(1, B) member mask → (m_rows, B) 0/1 f32 compaction matrix: row m
+    selects the m-th member query. Built with dots only (no sublane
+    transpose): inclusive ranks via a lower-triangular ones matrix."""
+    B = memberL.shape[1]
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    ).astype(jnp.float32)  # tri[j, b] = j ≤ b
+    mf = memberL.astype(jnp.float32)  # (1, B)
+    ranks = jax.lax.dot_general(
+        mf, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (1, B) — inclusive member count at b
+    mi = (ranks - 1.0).astype(jnp.int32)  # member index of b
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m_rows, B), 0)
+    return jnp.where(memberL > 0, (rows == mi).astype(jnp.float32), 0.0)
+
+
 def _ivf_scan_kernel(
     # scalar prefetch
     ul_ref,  # (U,) int32 — sorted probed list ids (duplicates allowed)
@@ -129,6 +181,7 @@ def _ivf_scan_kernel(
     scales_ref,  # (1, L_blk, G) bf16
     rid_ref,  # (1, n_sub, L_blk) int32 — the WHOLE list's row ids
     member_ref,  # (1, B, 1) int32 — 1 if query b probed THIS u slot
+    memberT_ref,  # (1, 1, B) int32 — lane-oriented member mask
     base_ref,  # (1, B, 1) f32 — q·centroid of this list per query
     # outputs
     out_s_ref,  # (B, K) f32
@@ -140,6 +193,7 @@ def _ivf_scan_kernel(
     k: int,
     bits: int,
     group_size: int,
+    m_rows: int,
 ):
     u = pl.program_id(1)
     l = pl.program_id(0)
@@ -150,7 +204,7 @@ def _ivf_scan_kernel(
 
     @pl.when(first)
     def _init():
-        acc_s[:] = jnp.full_like(acc_s, -jnp.inf)
+        acc_s[:] = jnp.full_like(acc_s, _NEG)
         acc_i[:] = jnp.full_like(acc_i, -1)
 
     # duplicate probe slots are fully idle: membership marks EVERY query
@@ -165,13 +219,13 @@ def _ivf_scan_kernel(
     def _work():
         _scan_work(
             ul_ref, q_ref, packed_ref, scales_ref, rid_ref, member_ref,
-            base_ref, acc_s, acc_i, l=l, k=k, bits=bits,
-            group_size=group_size,
+            memberT_ref, base_ref, acc_s, acc_i, l=l, k=k, bits=bits,
+            group_size=group_size, m_rows=m_rows,
         )
 
     @pl.when(last)
     def _flush():
-        out_s_ref[:] = acc_s[:]
+        out_s_ref[:] = jnp.where(acc_i[:] < 0, -jnp.inf, acc_s[:])
         out_i_ref[:] = acc_i[:]
 
 
@@ -228,8 +282,9 @@ def _tile_scores(
 
 
 def _scan_work(
-    ul_ref, q_ref, packed_ref, scales_ref, rid_ref, member_ref, base_ref,
-    acc_s, acc_i, *, l, k: int, bits: int, group_size: int,
+    ul_ref, q_ref, packed_ref, scales_ref, rid_ref, member_ref,
+    memberT_ref, base_ref, acc_s, acc_i, *, l, k: int, bits: int,
+    group_size: int, m_rows: int,
 ):
     s = _tile_scores(
         q_ref, packed_ref, scales_ref, bits=bits, group_size=group_size
@@ -242,38 +297,72 @@ def _scan_work(
     base = base_ref[0]  # (B, 1)
     s = s + base
     valid = (rid >= 0)[None, :] & (member > 0)
-    s = jnp.where(valid, s, -jnp.inf)
+    s = jnp.where(valid, s, _NEG)
 
     # skip the merge rounds when NO member query can improve its k-th best
     tile_max = jnp.max(s, axis=1)  # (B,)
     kth = jnp.min(acc_s[:], axis=1)  # (B,)
     improves = jnp.any(tile_max > kth)
+    n_members = jnp.sum(member)
+    if m_rows:
+        use_compact = improves & (n_members <= m_rows)
+        use_full = improves & (n_members > m_rows)
+    else:
+        use_full = improves
 
-    @pl.when(improves)
-    def _merge():
-        B = s.shape[0]
-        rid_b = jnp.broadcast_to(rid[None, :], s.shape).astype(jnp.int32)
-        s_all = jnp.concatenate([s, acc_s[:]], axis=1)  # (B, L_blk+K)
-        i_all = jnp.concatenate([rid_b, acc_i[:]], axis=1)
-        cols_s, cols_i = [], []
-        int_min = jnp.int32(-(2**31) + 1)
-        for _ in range(k):
-            m = jnp.max(s_all, axis=1, keepdims=True)  # (B, 1)
-            sel = (s_all == m) & (s_all > -jnp.inf)
-            # tie-break by highest id — unique ids ⇒ exactly one winner
-            a = jnp.max(
-                jnp.where(sel, i_all, int_min), axis=1, keepdims=True
+    if m_rows:
+        # see _ivf_candidates_kernel: rounds over m_rows compacted member
+        # rows instead of all B — row ids ride as exact f32 (< 2²⁴,
+        # guaranteed by the wrapper's max_id guard)
+        @pl.when(use_compact)
+        def _merge_compact():
+            memberL = memberT_ref[0]  # (1, B)
+            selR = _member_selector(memberL, m_rows)  # (m_rows, B) f32
+            # HIGHEST: Mosaic's default f32 dot is a single bf16 MXU pass —
+            # ids (< 2²⁴) and f32 scores round to the bf16 grid (measured
+            # on-chip: ids came back ±1). These dots are (m_rows, B)-tiny;
+            # the multi-pass cost is noise next to the rounds they save.
+            dot = functools.partial(
+                jax.lax.dot_general, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
-            cols_s.append(m[:, 0])
-            cols_i.append(jnp.where(m[:, 0] > -jnp.inf, a[:, 0], -1))
-            s_all = jnp.where(sel & (i_all == a), -jnp.inf, s_all)
-        acc_s[:] = jnp.stack(cols_s, axis=1)
-        acc_i[:] = jnp.stack(cols_i, axis=1)
+            pick = (((1,), (0,)), ((), ()))
+            scat = (((0,), (0,)), ((), ()))
+            rid_f = jnp.broadcast_to(
+                rid[None, :].astype(jnp.float32), (m_rows, s.shape[1])
+            )
+            new_s, new_i = _topk_rounds(
+                jnp.concatenate([dot(selR, s, pick),
+                                 dot(selR, acc_s[:], pick)], axis=1),
+                jnp.concatenate(
+                    [rid_f, dot(selR, acc_i[:].astype(jnp.float32), pick)],
+                    axis=1,
+                ),
+                k,
+            )
+            memb = member > 0  # (B, 1)
+            acc_s[:] = jnp.where(memb, dot(selR, new_s, scat), acc_s[:])
+            acc_i[:] = jnp.where(
+                memb, dot(selR, new_i, scat).astype(jnp.int32), acc_i[:]
+            )
+
+    @pl.when(use_full)
+    def _merge_full():
+        rid_b = jnp.broadcast_to(rid[None, :], s.shape).astype(jnp.int32)
+        new_s, new_i = _topk_rounds(
+            jnp.concatenate([s, acc_s[:]], axis=1),
+            jnp.concatenate([rid_b, acc_i[:]], axis=1),
+            k,
+        )
+        acc_s[:] = new_s
+        acc_i[:] = new_i
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "bits", "group_size", "l_blk", "interpret"),
+    static_argnames=(
+        "k", "bits", "group_size", "l_blk", "max_id", "m_rows", "interpret",
+    ),
 )
 def ivf_scan_topk(
     q: jax.Array,  # (B, D) f32/bf16 queries (natural column order)
@@ -287,6 +376,8 @@ def ivf_scan_topk(
     bits: int,
     group_size: int,
     l_blk: int,
+    max_id: Optional[int] = None,
+    m_rows: int = 8,
     interpret: Optional[bool] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """→ (scores (B, k) f32, ids (B, k) int32) over the probed lists.
@@ -294,7 +385,10 @@ def ivf_scan_topk(
     Exact over the probed lists (score = q·centroid + q·decoded-residual,
     identical codec semantics to ivf.py `_ivf_search_coded`). `packed`,
     `scales`, `row_ids` must be list-cap padded so L_pad % l_blk == 0
-    (see `choose_blocking`; IVFIndex handles this)."""
+    (see `choose_blocking`; IVFIndex handles this). `max_id` (an upper
+    bound on the row ids, exclusive) enables the member-compacted merge —
+    ids must be f32-exact, so it only engages below 2²⁴; pass it whenever
+    the caller knows the corpus size."""
     if interpret is None:
         from intel_extension_for_transformers_tpu.utils.device import (
             use_pallas_interpret,
@@ -330,8 +424,15 @@ def ivf_scan_topk(
     U = ul.shape[0]
     grid = (n_sub, U)  # l OUTER: duplicate-u steps stay DMA-adjacent
 
+    # member-compacted merge rides row ids as f32 — exact only below 2²⁴
+    if max_id is None or max_id >= 2**24:
+        m_rows = 0
+    m_rows = min(m_rows, B)
+    memberT = member.transpose(0, 2, 1)  # (U, 1, B) lane-oriented
+
     kernel = functools.partial(
-        _ivf_scan_kernel, k=k, bits=bits, group_size=group_size
+        _ivf_scan_kernel, k=k, bits=bits, group_size=group_size,
+        m_rows=m_rows,
     )
     out_s, out_i = pl.pallas_call(
         kernel,
@@ -346,6 +447,7 @@ def ivf_scan_topk(
                     (1, n_sub, l_blk), lambda l, u, ul: (ul[u], 0, 0)
                 ),
                 pl.BlockSpec((1, B, 1), lambda l, u, ul: (u, 0, 0)),
+                pl.BlockSpec((1, 1, B), lambda l, u, ul: (u, 0, 0)),
                 pl.BlockSpec((1, B, 1), lambda l, u, ul: (u, 0, 0)),
             ],
             out_specs=[
@@ -363,7 +465,7 @@ def ivf_scan_topk(
         ],
         interpret=interpret,
     )(ul, qk, packed, scales, row_ids.reshape(C, n_sub, l_blk), member,
-      base)
+      memberT, base)
     return out_s[:B0], out_i[:B0]
 
 
@@ -380,6 +482,7 @@ def _ivf_candidates_kernel(
     scales_ref,  # (1, L_blk, G) bf16
     rid_ref,  # (1, n_sub, L_blk) int32
     member_ref,  # (1, B, 1) int32
+    memberT_ref,  # (1, 1, B) int32 — lane-oriented member mask
     # outputs
     out_s_ref,  # (1, B, T) f32 — per-list top-T residual-dot scores
     out_p_ref,  # (1, B, T) int32 — flat storage POSITIONS (-1 = none)
@@ -394,6 +497,7 @@ def _ivf_candidates_kernel(
     n_sub: int,
     code_mult: int,
     code_offset: int,
+    m_rows: int,
 ):
     """Per-LIST top-T: grid is (U, n_sub) with u OUTER so one list's
     sub-blocks are consecutive and a per-u accumulator in scratch spans
@@ -401,18 +505,28 @@ def _ivf_candidates_kernel(
     tracks flat storage POSITIONS, which is what the rescore tier gathers
     (exact rows re-read once from HBM — retrieval/ivf.py `_rescore_refine`).
     Scores here EXCLUDE the q·centroid base: it is constant within a list,
-    so per-list ranking is unchanged and the wrapper re-adds it."""
+    so per-list ranking is unchanged and the wrapper re-adds it.
+
+    Merge cost model (measured at 10M: the ungated all-B merge was ~11 µs
+    of the ~10.7 µs/step gap to the 2 µs DMA floor): a probed list has
+    ~⌈B·nprobe/union⌉ ≈ 1-2 member queries at batch 64, yet the t rounds
+    ran over all B rows. When ≤ `m_rows` queries are members (the common
+    case by 64×), the merge COMPACTS to those rows with one 0/1 selection
+    dot, runs the rounds on (m_rows, L_blk+T), and scatters back — ids ride
+    as exact f32 (positions < C·L_pad < 2²⁴, asserted by the wrapper).
+    An `improves` gate (per-row t-th-best bound) skips unwinnable tiles."""
     u = pl.program_id(0)
     l = pl.program_id(1)
 
     @pl.when(l == 0)
     def _init():
-        acc_s[:] = jnp.full_like(acc_s, -jnp.inf)
+        acc_s[:] = jnp.full_like(acc_s, _NEG)
         acc_p[:] = jnp.full_like(acc_p, -1)
 
     member0 = member_ref[0]  # (B, 1)
+    n_members = jnp.sum(member0)
 
-    @pl.when(jnp.sum(member0) > 0)
+    @pl.when(n_members > 0)
     def _work():
         s = _tile_scores(
             q_ref, packed_ref, scales_ref, bits=bits, group_size=group_size,
@@ -420,29 +534,70 @@ def _ivf_candidates_kernel(
         )  # (B, L_blk)
         rid = rid_ref[0, l, :]  # (L_blk,)
         valid = (rid >= 0)[None, :] & (member0 > 0)
-        s = jnp.where(valid, s, -jnp.inf)
+        s = jnp.where(valid, s, _NEG)
         pos0 = ul_ref[u] * (n_sub * l_blk) + l * l_blk
-        pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
 
-        s_all = jnp.concatenate([s, acc_s[:]], axis=1)  # (B, L_blk+T)
-        i_all = jnp.concatenate([pos, acc_p[:]], axis=1)
-        cols_s, cols_p = [], []
-        int_min = jnp.int32(-(2**31) + 1)
-        for _ in range(t):
-            m = jnp.max(s_all, axis=1, keepdims=True)  # (B, 1)
-            sel = (s_all == m) & (s_all > -jnp.inf)
-            a = jnp.max(
-                jnp.where(sel, i_all, int_min), axis=1, keepdims=True
+        # skip the rounds when NO member row can improve its t-th best
+        tile_max = jnp.max(s, axis=1)  # (B,)
+        kth = jnp.min(acc_s[:], axis=1)  # (B,)
+        improves = jnp.any(tile_max > kth)
+        if m_rows:
+            use_compact = improves & (n_members <= m_rows)
+            use_full = improves & (n_members > m_rows)
+        else:
+            use_compact = None
+            use_full = improves
+
+        if m_rows:
+
+            @pl.when(use_compact)
+            def _merge_compact():
+                memberL = memberT_ref[0]  # (1, B)
+                selR = _member_selector(memberL, m_rows)  # (m_rows, B) f32
+                # HIGHEST: see _scan_work — default f32 dots are one bf16
+                # MXU pass; ids/scores must survive the round trip exactly
+                dot = functools.partial(
+                    jax.lax.dot_general,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                pick = (((1,), (0,)), ((), ()))  # contract B (gather rows)
+                scat = (((0,), (0,)), ((), ()))  # contract m (scatter rows)
+                s_small = dot(selR, s, pick)  # (m_rows, L_blk)
+                acc_s_small = dot(selR, acc_s[:], pick)  # (m_rows, T)
+                acc_p_small = dot(
+                    selR, acc_p[:].astype(jnp.float32), pick
+                )  # (m_rows, T) — exact: positions < 2²⁴
+                pos_small = (
+                    pos0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (m_rows, l_blk), 1
+                    )
+                ).astype(jnp.float32)
+                new_s, new_p = _topk_rounds(
+                    jnp.concatenate([s_small, acc_s_small], axis=1),
+                    jnp.concatenate([pos_small, acc_p_small], axis=1),
+                    t,
+                )
+                memb = member0 > 0  # (B, 1)
+                acc_s[:] = jnp.where(memb, dot(selR, new_s, scat), acc_s[:])
+                acc_p[:] = jnp.where(
+                    memb, dot(selR, new_p, scat).astype(jnp.int32), acc_p[:]
+                )
+
+        @pl.when(use_full)
+        def _merge_full():
+            pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            new_s, new_p = _topk_rounds(
+                jnp.concatenate([s, acc_s[:]], axis=1),
+                jnp.concatenate([pos, acc_p[:]], axis=1),
+                t,
             )
-            cols_s.append(m[:, 0])
-            cols_p.append(jnp.where(m[:, 0] > -jnp.inf, a[:, 0], -1))
-            s_all = jnp.where(sel & (i_all == a), -jnp.inf, s_all)
-        acc_s[:] = jnp.stack(cols_s, axis=1)
-        acc_p[:] = jnp.stack(cols_p, axis=1)
+            acc_s[:] = new_s
+            acc_p[:] = new_p
 
     @pl.when(l == n_sub - 1)
     def _flush():
-        out_s_ref[0] = acc_s[:]
+        out_s_ref[0] = jnp.where(acc_p[:] < 0, -jnp.inf, acc_s[:])
         out_p_ref[0] = acc_p[:]
 
 
@@ -450,7 +605,7 @@ def _ivf_candidates_kernel(
     jax.jit,
     static_argnames=(
         "t", "bits", "group_size", "l_blk", "code_mult", "code_offset",
-        "interpret",
+        "m_rows", "interpret",
     ),
 )
 def ivf_scan_candidates(
@@ -467,6 +622,7 @@ def ivf_scan_candidates(
     l_blk: int,
     code_mult: int = 1,
     code_offset: int = 0,
+    m_rows: int = 8,
     interpret: Optional[bool] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """→ (scores (B, nprobe·t) f32, pos (B, nprobe·t) int32).
@@ -514,10 +670,16 @@ def ivf_scan_candidates(
     # their member gate makes the steps compute no-ops.
     grid = (U, n_sub)
 
+    # member-compacted merge rides ids as f32 — exact only below 2²⁴
+    if C * L_pad >= 2**24:
+        m_rows = 0
+    m_rows = min(m_rows, B)
+    memberT = member.transpose(0, 2, 1)  # (U, 1, B) lane-oriented
+
     kernel = functools.partial(
         _ivf_candidates_kernel, t=t, bits=bits, group_size=group_size,
         l_blk=l_blk, n_sub=n_sub, code_mult=code_mult,
-        code_offset=code_offset,
+        code_offset=code_offset, m_rows=m_rows,
     )
     out_s, out_p = pl.pallas_call(
         kernel,
@@ -538,6 +700,7 @@ def ivf_scan_candidates(
                     (1, n_sub, l_blk), lambda u, l, ul, lv: (ul[u], 0, 0)
                 ),
                 pl.BlockSpec((1, B, 1), lambda u, l, ul, lv: (u, 0, 0)),
+                pl.BlockSpec((1, 1, B), lambda u, l, ul, lv: (u, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, B, t), lambda u, l, ul, lv: (u, 0, 0)),
@@ -554,7 +717,7 @@ def ivf_scan_candidates(
         ],
         interpret=interpret,
     )(ul, live, qk, packed, scales, row_ids.reshape(C, n_sub, l_blk),
-      member)
+      member, memberT)
 
     # per-query slot lookup: probes[b, j] → its unique slot u in ul
     eq = (probes[:, :, None] == ul[None, None, :]) & (live[None, None, :] > 0)

@@ -781,6 +781,10 @@ class IVFIndex:
                     self._row_ids.reshape(C, L),
                     probes, k=k, bits=self._bits,
                     group_size=self.group_size, l_blk=self._l_blk,
+                    # coarse static bound (avoids a recompile per add):
+                    # row ids are the running add counter, so < 2²⁴ size
+                    # guarantees f32-exact ids for the compacted merge
+                    max_id=(2**24 - 1) if self.size < 2**24 else None,
                 )
                 scores, ids = np.asarray(scores), np.asarray(ids)
                 if squeeze:

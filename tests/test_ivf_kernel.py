@@ -126,3 +126,80 @@ def test_kernel_path_recall_vs_exact():
         for b in range(len(queries))
     )
     assert hits / exact.size >= 0.9
+
+
+def _tiny_storage(bits, rng, C=16, cap=40, D=128, gs=32):
+    cent = rng.normal(size=(C, D)).astype(np.float32)
+    v = (cent[rng.integers(0, C, C * 30)] * 0.9
+         + rng.normal(size=(C * 30, D)) * 0.3).astype(np.float32)
+    assign = np.asarray(_nearest_centroid(jnp.asarray(v), jnp.asarray(cent)))
+    l_blk, l_pad = choose_blocking(cap, l_blk_max=256)
+    W = D // 2 if bits == 4 else D
+    packed = np.zeros((C, l_pad, W), np.int8)
+    scales = np.zeros((C, l_pad, D // gs), np.float32)
+    rids = np.full((C, l_pad), -1, np.int32)
+    fill = np.zeros(C, np.int64)
+    pk, sc = _encode_residual(jnp.asarray(v), jnp.asarray(cent[assign]),
+                              gs, bits)
+    pk, sc = np.asarray(pk), np.asarray(sc.astype(jnp.float32))
+    for i in range(len(v)):
+        a = assign[i]
+        if fill[a] >= cap:
+            continue
+        packed[a, fill[a]] = pk[i]
+        scales[a, fill[a]] = sc[i]
+        rids[a, fill[a]] = i
+        fill[a] += 1
+    return cent, packed, scales, rids, l_blk
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+@pytest.mark.parametrize("hot", [False, True])
+def test_topk_member_compaction_matches_fallback(bits, hot):
+    """Compacted merge (max_id < 2²⁴ → rounds over ≤ m_rows member rows
+    via 0/1 selection dots) ≡ the all-B fallback — including a HOT list
+    probed by every query of a 12-row batch, which exceeds m_rows=8 and
+    must take the in-kernel fallback branch."""
+    rng = np.random.default_rng(7)
+    cent, packed, scales, rids, l_blk = _tiny_storage(bits, rng)
+    C = cent.shape[0]
+    B, nprobe, k = 12, 4, 8
+    q = rng.normal(size=(B, cent.shape[1])).astype(np.float32)
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe].astype(np.int32)
+    if hot:
+        probes[:, 0] = 3  # every query probes list 3 → members > m_rows
+    kw = dict(k=k, bits=bits, group_size=32, l_blk=l_blk, interpret=True)
+    args = (jnp.asarray(q), jnp.asarray(cent), jnp.asarray(packed),
+            jnp.asarray(scales).astype(jnp.bfloat16), jnp.asarray(rids),
+            jnp.asarray(probes))
+    s_off, i_off = ivf_scan_topk(*args, max_id=None, **kw)
+    s_on, i_on = ivf_scan_topk(*args, max_id=2**24 - 1, **kw)
+    np.testing.assert_array_equal(np.asarray(i_off), np.asarray(i_on))
+    np.testing.assert_allclose(np.asarray(s_off), np.asarray(s_on),
+                               rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("hot", [False, True])
+def test_candidates_member_compaction_matches_fallback(hot):
+    """ivf_scan_candidates: m_rows=8 (compacted) ≡ m_rows=0 (all-B)."""
+    from intel_extension_for_transformers_tpu.ops.ivf_scan import (
+        ivf_scan_candidates,
+    )
+
+    rng = np.random.default_rng(9)
+    cent, packed, scales, rids, l_blk = _tiny_storage(4, rng)
+    B, nprobe, t = 12, 4, 6
+    q = rng.normal(size=(B, cent.shape[1])).astype(np.float32)
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe].astype(np.int32)
+    if hot:
+        probes[:, 0] = 5
+    kw = dict(t=t, bits=4, group_size=32, l_blk=l_blk, code_mult=16,
+              code_offset=8, interpret=True)
+    args = (jnp.asarray(q), jnp.asarray(cent), jnp.asarray(packed),
+            jnp.asarray(scales).astype(jnp.bfloat16), jnp.asarray(rids),
+            jnp.asarray(probes))
+    s_off, p_off = ivf_scan_candidates(*args, m_rows=0, **kw)
+    s_on, p_on = ivf_scan_candidates(*args, m_rows=8, **kw)
+    np.testing.assert_array_equal(np.asarray(p_off), np.asarray(p_on))
+    np.testing.assert_allclose(np.asarray(s_off), np.asarray(s_on),
+                               rtol=0, atol=1e-5)
