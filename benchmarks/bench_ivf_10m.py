@@ -41,6 +41,11 @@ def main():
                    help="int4_refine: per-probed-list candidates kept by "
                    "the scan tier and re-scored exactly (a search-time "
                    "knob — every value sweeps on the SAME build)")
+    p.add_argument("--rescore-r", type=int, nargs="+", default=[],
+                   help="int4_refine: GLOBAL top-r candidate selection "
+                   "across the probed union (the flat index's shadow "
+                   "design) — sweeps on the same build; robust where "
+                   "per-list quotas cliff on clustered data")
     p.add_argument("--group-size", type=int, default=32,
                    help="residual codec scale granularity")
     p.add_argument("--cap-ratio", type=float, default=1.5,
@@ -75,9 +80,9 @@ def main():
                    "--single", "--dtypes", dt]
             for k in ("n", "dim", "n_lists", "nprobe", "batch", "iters",
                       "eval_queries", "cap_ratio", "state_dir", "train_n",
-                      "chunk", "rescore_t", "group_size"):
+                      "chunk", "rescore_t", "rescore_r", "group_size"):
                 v = getattr(args, k)
-                if v is None:
+                if v is None or v == []:
                     continue
                 vals = v if isinstance(v, list) else [v]
                 cmd += [f"--{k.replace('_', '-')}"] + [str(x) for x in vals]
@@ -278,18 +283,27 @@ def run_search_phase(args, dt, idx, qd, queries, best_i, build_s):
 
         import functools
 
-        @functools.partial(jax.jit, static_argnames=("nprobe", "t_res"))
+        @functools.partial(jax.jit,
+                           static_argnames=("nprobe", "t_res", "r_res"))
         def _refine_one(qb, cent, storage, scales, row_ids, lo_plane, *,
-                        nprobe, t_res):
+                        nprobe, t_res=None, r_res=None):
             # reshapes inside jit = free bitcasts (eager ones COPY — the
             # round-4 OOM lesson)
             csims = qb @ cent.T.astype(jnp.float32)
             _, probes = jax.lax.top_k(csims, nprobe)
-            _, pos = ivf_scan_candidates(
-                qb, cent, storage, scales, row_ids, probes,
-                t=t_res, bits=4, group_size=idx.group_size,
-                l_blk=idx._l_blk, code_mult=16, code_offset=8,
-            )
+            if r_res is not None:  # global top-r candidate selection
+                _, pos = ivf_scan_topk(
+                    qb, cent, storage, scales, row_ids, probes,
+                    k=r_res, bits=4, group_size=idx.group_size,
+                    l_blk=idx._l_blk, track_positions=True,
+                    code_mult=16, code_offset=8,
+                )
+            else:  # per-probed-list top-t quota
+                _, pos = ivf_scan_candidates(
+                    qb, cent, storage, scales, row_ids, probes,
+                    t=t_res, bits=4, group_size=idx.group_size,
+                    l_blk=idx._l_blk, code_mult=16, code_offset=8,
+                )
             return _rescore_refine(
                 qb, cent, storage.reshape(C * L, W), lo_plane,
                 scales.reshape(C * L, G), row_ids.reshape(-1), pos, k=10,
@@ -298,11 +312,11 @@ def run_search_phase(args, dt, idx, qd, queries, best_i, build_s):
 
     max_id = args.n if args.n < 2**24 else None  # f32-exact compacted merge
 
-    def kernel_search(qb, nprobe, t_res):
+    def kernel_search(qb, nprobe, t_res, r_res):
         qb = jnp.asarray(qb, jnp.float32)
         if refine:
             return _refine_one(qb, cent, storage3, scales3, rids2, lo,
-                               nprobe=nprobe, t_res=t_res)
+                               nprobe=nprobe, t_res=t_res, r_res=r_res)
         csims = qb @ cent.T.astype(jnp.float32)
         _, probes = jax.lax.top_k(csims, nprobe)
         return ivf_scan_topk(
@@ -322,12 +336,19 @@ def run_search_phase(args, dt, idx, qd, queries, best_i, build_s):
         -(np.asarray(q) @ np.asarray(cent).T), axis=1
     )
     points = {}
-    t_sweep = args.rescore_t if refine else [None]
-    for t_res in t_sweep:
+    if refine:
+        combos = ([("t", t) for t in args.rescore_t]
+                  + [("r", r) for r in args.rescore_r])
+    else:
+        combos = [(None, None)]
+    for mode, val in combos:
+        t_res = val if mode == "t" else None
+        r_res = val if mode == "r" else None
         for nprobe in args.nprobe:
             hits = 0
             for j in range(0, NQ, args.batch):
-                _, ids = kernel_search(qd[j:j + args.batch], nprobe, t_res)
+                _, ids = kernel_search(qd[j:j + args.batch], nprobe,
+                                       t_res, r_res)
                 ids = np.asarray(ids)
                 for r, row in enumerate(ids):
                     hits += len(
@@ -340,21 +361,14 @@ def run_search_phase(args, dt, idx, qd, queries, best_i, build_s):
             def loop(qq, cent, storage, scales, row_ids, lo_plane):
                 def body(i, acc):
                     qi = qq + 0 * i.astype(qq.dtype)
-                    csims = qi @ cent.T.astype(jnp.float32)
-                    _, probes = jax.lax.top_k(csims, nprobe)
                     if refine:
-                        _, pos = ivf_scan_candidates(
-                            qi, cent, storage, scales, row_ids, probes,
-                            t=t_res, bits=4, group_size=idx.group_size,
-                            l_blk=idx._l_blk, code_mult=16, code_offset=8,
-                        )
-                        _, ii = _rescore_refine(
-                            qi, cent, storage.reshape(C * L, W), lo_plane,
-                            scales.reshape(C * L, G), row_ids.reshape(-1),
-                            pos, k=10, group_size=idx.group_size,
-                            list_cap=L, lo_dense=lo_dense,
+                        _, ii = _refine_one.__wrapped__(
+                            qi, cent, storage, scales, row_ids, lo_plane,
+                            nprobe=nprobe, t_res=t_res, r_res=r_res,
                         )
                     else:
+                        csims = qi @ cent.T.astype(jnp.float32)
+                        _, probes = jax.lax.top_k(csims, nprobe)
                         _, ii = ivf_scan_topk(
                             qi, cent, storage, scales, row_ids, probes,
                             k=10, bits=idx._bits, group_size=idx.group_size,
@@ -380,10 +394,9 @@ def run_search_phase(args, dt, idx, qd, queries, best_i, build_s):
             key = f"nprobe{nprobe}"
             if refine:
                 # hi + lo + scales + rid per candidate row (row gathers)
-                gather_bytes = (
-                    args.batch * nprobe * t_res * (2 * W + 2 * G + 4)
-                )
-                key = f"nprobe{nprobe}_t{t_res}"
+                n_cand = (nprobe * t_res) if mode == "t" else r_res
+                gather_bytes = args.batch * n_cand * (2 * W + 2 * G + 4)
+                key = f"nprobe{nprobe}_{mode}{val}"
             bound_qps = args.batch / ((scan_bytes + gather_bytes) / DMA_GBPS)
             points[key] = {
                 "qps": round(qps, 1),

@@ -194,6 +194,11 @@ def _ivf_scan_kernel(
     bits: int,
     group_size: int,
     m_rows: int,
+    l_blk: int,
+    n_sub: int,
+    track_positions: bool,
+    code_mult: int,
+    code_offset: int,
 ):
     u = pl.program_id(1)
     l = pl.program_id(0)
@@ -217,10 +222,13 @@ def _ivf_scan_kernel(
 
     @pl.when(jnp.sum(member0) > 0)
     def _work():
+        pos0 = ul_ref[u] * (n_sub * l_blk) + l * l_blk
         _scan_work(
             ul_ref, q_ref, packed_ref, scales_ref, rid_ref, member_ref,
-            memberT_ref, base_ref, acc_s, acc_i, l=l, k=k, bits=bits,
-            group_size=group_size, m_rows=m_rows,
+            memberT_ref, base_ref, acc_s, acc_i, l=l, pos0=pos0, k=k,
+            bits=bits, group_size=group_size, m_rows=m_rows,
+            track_positions=track_positions, code_mult=code_mult,
+            code_offset=code_offset,
         )
 
     @pl.when(last)
@@ -283,11 +291,13 @@ def _tile_scores(
 
 def _scan_work(
     ul_ref, q_ref, packed_ref, scales_ref, rid_ref, member_ref,
-    memberT_ref, base_ref, acc_s, acc_i, *, l, k: int, bits: int,
-    group_size: int, m_rows: int,
+    memberT_ref, base_ref, acc_s, acc_i, *, l, pos0, k: int, bits: int,
+    group_size: int, m_rows: int, track_positions: bool = False,
+    code_mult: int = 1, code_offset: int = 0,
 ):
     s = _tile_scores(
-        q_ref, packed_ref, scales_ref, bits=bits, group_size=group_size
+        q_ref, packed_ref, scales_ref, bits=bits, group_size=group_size,
+        code_mult=code_mult, code_offset=code_offset,
     )
     # whole-list row ids ride in one (n_sub, L_blk) block (tiny next to
     # packed); pick this sub-block's row dynamically — Mosaic block rules
@@ -298,6 +308,17 @@ def _scan_work(
     s = s + base
     valid = (rid >= 0)[None, :] & (member > 0)
     s = jnp.where(valid, s, _NEG)
+
+    def ids_2d(rows: int, dtype):
+        """(rows, L_blk) merge ids: flat STORAGE positions when the refine
+        tier will gather them, row ids otherwise (validity always via rid)."""
+        if track_positions:
+            ids = pos0 + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, s.shape[1]), 1
+            )
+        else:
+            ids = jnp.broadcast_to(rid[None, :], (rows, s.shape[1]))
+        return ids.astype(dtype)
 
     # skip the merge rounds when NO member query can improve its k-th best
     tile_max = jnp.max(s, axis=1)  # (B,)
@@ -328,14 +349,12 @@ def _scan_work(
             )
             pick = (((1,), (0,)), ((), ()))
             scat = (((0,), (0,)), ((), ()))
-            rid_f = jnp.broadcast_to(
-                rid[None, :].astype(jnp.float32), (m_rows, s.shape[1])
-            )
             new_s, new_i = _topk_rounds(
                 jnp.concatenate([dot(selR, s, pick),
                                  dot(selR, acc_s[:], pick)], axis=1),
                 jnp.concatenate(
-                    [rid_f, dot(selR, acc_i[:].astype(jnp.float32), pick)],
+                    [ids_2d(m_rows, jnp.float32),
+                     dot(selR, acc_i[:].astype(jnp.float32), pick)],
                     axis=1,
                 ),
                 k,
@@ -348,10 +367,10 @@ def _scan_work(
 
     @pl.when(use_full)
     def _merge_full():
-        rid_b = jnp.broadcast_to(rid[None, :], s.shape).astype(jnp.int32)
         new_s, new_i = _topk_rounds(
             jnp.concatenate([s, acc_s[:]], axis=1),
-            jnp.concatenate([rid_b, acc_i[:]], axis=1),
+            jnp.concatenate([ids_2d(s.shape[0], jnp.int32), acc_i[:]],
+                            axis=1),
             k,
         )
         acc_s[:] = new_s
@@ -361,7 +380,8 @@ def _scan_work(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "bits", "group_size", "l_blk", "max_id", "m_rows", "interpret",
+        "k", "bits", "group_size", "l_blk", "max_id", "m_rows",
+        "track_positions", "code_mult", "code_offset", "interpret",
     ),
 )
 def ivf_scan_topk(
@@ -378,9 +398,19 @@ def ivf_scan_topk(
     l_blk: int,
     max_id: Optional[int] = None,
     m_rows: int = 8,
+    track_positions: bool = False,
+    code_mult: int = 1,
+    code_offset: int = 0,
     interpret: Optional[bool] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """→ (scores (B, k) f32, ids (B, k) int32) over the probed lists.
+
+    `track_positions=True` returns flat STORAGE positions (ul·L_pad + slot)
+    instead of row ids — the refine tier's global-top-R candidate selection
+    (retrieval/ivf.py `_rescore_refine` gathers them; per-list quotas cliff
+    on clustered data because a query's true top-k concentrates in 1-2
+    lists). `code_mult`/`code_offset` rescale raw codes before the scale
+    multiply (hi-nibble plane of the split codec: 16·hi + 8).
 
     Exact over the probed lists (score = q·centroid + q·decoded-residual,
     identical codec semantics to ivf.py `_ivf_search_coded`). `packed`,
@@ -424,15 +454,18 @@ def ivf_scan_topk(
     U = ul.shape[0]
     grid = (n_sub, U)  # l OUTER: duplicate-u steps stay DMA-adjacent
 
-    # member-compacted merge rides row ids as f32 — exact only below 2²⁴
-    if max_id is None or max_id >= 2**24:
+    # member-compacted merge rides ids as f32 — exact only below 2²⁴
+    id_bound = C * L_pad if track_positions else max_id
+    if id_bound is None or id_bound >= 2**24:
         m_rows = 0
     m_rows = min(m_rows, B)
     memberT = member.transpose(0, 2, 1)  # (U, 1, B) lane-oriented
 
     kernel = functools.partial(
         _ivf_scan_kernel, k=k, bits=bits, group_size=group_size,
-        m_rows=m_rows,
+        m_rows=m_rows, l_blk=l_blk, n_sub=n_sub,
+        track_positions=track_positions, code_mult=code_mult,
+        code_offset=code_offset,
     )
     out_s, out_i = pl.pallas_call(
         kernel,

@@ -692,7 +692,8 @@ class IVFIndex:
         return ids
 
     def search(self, queries, k: int = 10, nprobe: int = 8,
-               use_kernel: Optional[bool] = None, rescore_t: int = 16):
+               use_kernel: Optional[bool] = None, rescore_t: int = 16,
+               rescore_r: Optional[int] = None):
         """Bounded-probe top-k. Coded dtypes route through the FUSED Pallas
         scan (`ops/ivf_scan.py`) on TPU by default — it reads each probed
         list's packed block once and keeps decode in VMEM, where the XLA
@@ -700,10 +701,16 @@ class IVFIndex:
         10M×768 batch 8). `use_kernel=False` forces the XLA path;
         `use_kernel=True` forces the kernel (interpret mode off-TPU).
 
-        refine='int8' indexes run TWO tiers: the int4 hi-nibble scan keeps
-        the per-probed-list top-`rescore_t` candidates, then the rescore
-        gathers those rows' full nibble pair and re-ranks with the EXACT
-        int8 residual score — int8 recall at int4 scan bandwidth."""
+        refine='int8' indexes run TWO tiers: the int4 hi-nibble scan
+        selects candidates, then the rescore gathers those rows' full
+        nibble pair and re-ranks with the EXACT int8 residual score — int8
+        recall at int4 scan bandwidth. Candidate selection: `rescore_r`
+        set → GLOBAL top-r by hi-nibble score across the probed union (the
+        flat index's shadow design; robust on clustered data, where a
+        query's true top-k concentrates in 1-2 lists and per-list quotas
+        cliff — measured at 10M: per-list t=8 recall 0.84 vs t=16 0.98).
+        `rescore_r=None` → per-probed-list top-`rescore_t` quota
+        (kernel path only; the XLA path always uses per-list quotas)."""
         if self.size == 0:
             raise ValueError("index is empty")
         q = jnp.asarray(queries, jnp.float32)
@@ -723,22 +730,37 @@ class IVFIndex:
                 use_kernel = not use_pallas_interpret()
             t = max(1, min(rescore_t, self._list_cap))
             if use_kernel:
-                from intel_extension_for_transformers_tpu.ops.ivf_scan import (
-                    ivf_scan_candidates,
-                )
-
                 self._ensure_kernel_layout()
                 C, L = self.n_lists, self._list_cap
                 csims = q @ self.centroids.T.astype(jnp.float32)
                 _, probes = jax.lax.top_k(csims, nprobe)
-                _, pos = ivf_scan_candidates(
-                    q, self.centroids,
-                    self._storage.reshape(C, L, -1),
-                    self._scales.reshape(C, L, -1),
-                    self._row_ids.reshape(C, L),
-                    probes, t=t, bits=4, group_size=self.group_size,
-                    l_blk=self._l_blk, code_mult=16, code_offset=8,
-                )
+                if rescore_r is not None:
+                    from intel_extension_for_transformers_tpu.ops.ivf_scan import (  # noqa: E501
+                        ivf_scan_topk,
+                    )
+
+                    _, pos = ivf_scan_topk(
+                        q, self.centroids,
+                        self._storage.reshape(C, L, -1),
+                        self._scales.reshape(C, L, -1),
+                        self._row_ids.reshape(C, L),
+                        probes, k=max(k, rescore_r), bits=4,
+                        group_size=self.group_size, l_blk=self._l_blk,
+                        track_positions=True, code_mult=16, code_offset=8,
+                    )
+                else:
+                    from intel_extension_for_transformers_tpu.ops.ivf_scan import (  # noqa: E501
+                        ivf_scan_candidates,
+                    )
+
+                    _, pos = ivf_scan_candidates(
+                        q, self.centroids,
+                        self._storage.reshape(C, L, -1),
+                        self._scales.reshape(C, L, -1),
+                        self._row_ids.reshape(C, L),
+                        probes, t=t, bits=4, group_size=self.group_size,
+                        l_blk=self._l_blk, code_mult=16, code_offset=8,
+                    )
             else:
                 _, pos = _ivf_search_coded(
                     q, self.centroids, self._storage, self._scales,

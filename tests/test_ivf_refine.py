@@ -204,3 +204,37 @@ def test_sharded_refine_recall(mesh8, data):
     _, ids = idx.search(q, k=K, nprobe=4, rescore_t=16)
     r = recall_at_k(ids, oracle)
     assert r >= 0.9, r
+
+def test_refine_global_r_matches_int8_when_covering(data):
+    """Global top-R candidate selection (rescore_r, the flat-index shadow
+    design over the probed union) with R large enough to cover every
+    probed row must return EXACTLY the int8 codec search's answer."""
+    docs, q, _ = data
+    kw = dict(dim=DIM, n_lists=32, list_cap=256, group_size=32)
+    a = IVFIndex(dtype="int8", **kw)
+    b = IVFIndex(dtype="int4", refine="int8", **kw)
+    for idx in (a, b):
+        idx.train(docs[:4000], seed=0)
+        idx.add(docs[:3000])
+    q8 = q[:8]
+    s8, i8 = a.search(q8, k=K, nprobe=3, use_kernel=False)
+    sr, ir = b.search(q8, k=K, nprobe=3, use_kernel=True,
+                      rescore_r=3 * b._list_cap)
+    assert np.array_equal(i8, ir)
+    np.testing.assert_allclose(s8, sr, rtol=0, atol=1e-5)
+
+
+def test_refine_global_r_recall_production_size(data):
+    """Global R=48 at production-like settings: recall >= the per-list
+    t=16 path on the same index (the 10M sweep measured per-list quotas
+    cliffing below t=16 on clustered data; global-R is the robust mode)."""
+    docs, q, oracle = data
+    idx = IVFIndex(dim=DIM, n_lists=32, dtype="int4", refine="int8",
+                   list_cap=1024, group_size=32)
+    idx.train(docs[:4000], seed=0)
+    idx.add(docs)
+    _, ig = idx.search(q[:16], k=K, nprobe=8, use_kernel=True, rescore_r=48)
+    _, it = idx.search(q[:16], k=K, nprobe=8, use_kernel=True, rescore_t=16)
+    rg, rt = recall_at_k(ig, oracle[:16]), recall_at_k(it, oracle[:16])
+    assert rg >= 0.9, rg
+    assert rg >= rt - 0.02, (rg, rt)
