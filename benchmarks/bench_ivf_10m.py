@@ -25,6 +25,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _retry(what, fn, tries=5, wait=30):
+    """Retry transient relay faults. The first 12.5M max-rows build died at
+    11.75M/12.5M (94%, ~45 min in) on a single 'response body closed'
+    remote_compile read — the relay hiccups rarely but a multi-hour build
+    must survive it. Only side-effect-free device calls go through here
+    (generation, oracle top-k): retrying `idx.add` could double-insert and
+    shift the oracle's row ids, so add is deliberately NOT wrapped."""
+    for a in range(tries):
+        try:
+            return fn()
+        except Exception as e:
+            if a == tries - 1:
+                raise
+            print(f"[retry] {what}: {type(e).__name__}: {str(e)[:200]} — "
+                  f"retry {a + 1}/{tries - 1} in {wait}s",
+                  file=sys.stderr, flush=True)
+            time.sleep(wait)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=10_000_000)
@@ -32,7 +51,12 @@ def main():
     p.add_argument("--n-lists", type=int, default=4096)
     p.add_argument("--nprobe", type=int, nargs="+", default=[32, 16, 64])
     p.add_argument("--batch", type=int, default=64)
-    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--iters", type=int, default=100,
+                   help="fori_loop iterations per timed dispatch. The "
+                   "relay's ~26 ms round-trip floor rides on EVERY "
+                   "dispatch: at iters=10 that is +2.6 ms/batch (the "
+                   "round-4 numbers understated QPS ~1.7×); 100 puts the "
+                   "floor under 3% of any measured point")
     p.add_argument("--eval-queries", type=int, default=64)
     p.add_argument("--dtypes", nargs="+", default=["int4", "int8"],
                    help="int4 | int8 | int4_refine (two-tier: int4 "
@@ -197,14 +221,20 @@ def main():
             chunk, first = first, None  # drop the extra 1.5 GB reference
         else:
             chunk = None  # free the previous chunk BEFORE generating
-            chunk, _ = clustered_embeddings_device(
-                min(CHUNK, args.n - added), dim=args.dim, n_queries=1,
-                n_topics=256, seed=rng_seed,
-            )
+            chunk, _ = _retry("chunk generation", lambda: (
+                clustered_embeddings_device(
+                    min(CHUNK, args.n - added), dim=args.dim, n_queries=1,
+                    n_topics=256, seed=rng_seed,
+                )))
             rng_seed += 1
         chunk = chunk[: args.n - added]
-        sc, ii = chunk_topk(qd, chunk)
-        sc, ii = np.asarray(sc), np.asarray(ii).astype(np.int64) + added
+
+        def _oracle():
+            s, i2 = chunk_topk(qd, chunk)
+            return np.asarray(s), np.asarray(i2)
+
+        sc, ii = _retry("oracle top-k", _oracle)
+        ii = ii.astype(np.int64) + added
         merged_s = np.concatenate([best_s, sc], axis=1)
         merged_i = np.concatenate([best_i, ii], axis=1)
         ordr = np.argsort(-merged_s, axis=1)[:, :10]

@@ -59,17 +59,20 @@ def _round_up(x: int, m: int) -> int:
 
 
 def choose_blocking(
-    list_cap: int, l_blk_max: int = 768, overhead_rows: int = 768
+    list_cap: int, l_blk_max: int = 1536, overhead_rows: int = 768
 ) -> tuple[int, int]:
     """→ (l_blk, l_pad): lane-aligned sub-block size and padded list cap.
 
     l_blk must be a multiple of 128 (lane alignment for the row-ids block
     and the score tile). The cost model charges each grid step its DMA
     rows (l_pad total) PLUS `overhead_rows` of fixed step cost — measured
-    on-chip: a 2048-step batch at l_blk=768 runs ~4.4 µs/step of which
-    ~2 µs is DMA, i.e. per-step overhead ≈ one 768-row block. Minimizing
+    on-chip (round 5, relay floor amortized over 300-iter loops): per-step
+    overhead is ~1.1 µs at l_blk=768 and ~1.8 µs at 1536 on top of ~2 µs
+    DMA per 768 rows, so one 1536-row block beats two 768-row blocks by
+    ~18-21% of batch time at 10M scale (profile_ivf_scan.py). Minimizing
     padding alone picked 13×128 for cap 1587 (26k steps/batch — 4× slower
-    than 3×640 despite 13% less padding)."""
+    than 3×640 despite 13% less padding). VMEM at l_blk 1536 (int8 d768:
+    1.2 MB packed block + decode temps) measured fine on v5e."""
     best = None
     for n_sub in range(1, 256):
         l_blk = _round_up(-(-list_cap // n_sub), 128)
