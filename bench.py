@@ -32,7 +32,9 @@ import time
 import numpy as np
 
 N, D, B, K = 100_000, 768, 4096, 10
-ITERS = 50
+ITERS = 200  # the relay's ~26 ms dispatch floor rides on the ONE timed
+# dispatch; at 50 iters (~0.37 s loop) that understated QPS ~7%, at 200
+# it is <2% (profile_ivf_scan.py measured the floor by scaling iters)
 OVERSAMPLE = 32  # int4-scan top-32 containment of the true top-10 ≈ 0.99+;
 # the rescore row-gather is the QPS cost, so keep m minimal
 NOISE = 0.8  # cluster spread: within-subtopic cosine ≈ 0.65 (realistic text
